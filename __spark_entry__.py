@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: the full KG triple-emission pipeline on sf0.001.
+queries()    — one entry per implemented operator from SURVEY.md §2 plus
+               the training-data-pipeline operators (dedup / similarity /
+               text analysis / multimodal plumbing).
+oracle_sql() — DuckDB-equivalent SQL per query (omitted only for
+               genuinely non-SQL-expressible ops; driver then records a
+               rows-only check).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline pages -> extract -> mentions -> link ->
+    canonicalize -> triples on sf0.001."""
+    from kgforge.pipeline import QUERIES as KG_QUERIES
+
+    if "kg_triples" in KG_QUERIES:  # full pipeline (lands with kgforge.pipeline)
+        return KG_QUERIES["kg_triples"](spark, "/root/testdata/sf0.001")
+    from kgforge.operators.relational import q_pricing_summary
+
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgforge.operators import relational
+    from kgforge.operators import dedup, similarity, textstats, multimodal
+    from kgforge import pipeline
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(relational.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(textstats.QUERIES)
+    out.update(multimodal.QUERIES)
+    out.update(pipeline.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgforge.operators import relational
+    from kgforge.operators import dedup, similarity, textstats, multimodal
+    from kgforge import pipeline
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(textstats.ORACLES)
+    out.update(multimodal.ORACLES)
+    out.update(pipeline.ORACLES)
+    return out

@@ -1,0 +1,79 @@
+"""Session construction + engine configuration.
+
+The reference parameterizes sites via scalar config functions
+(GETDATAMARTID/GETDATAMARTNAME, Oracle/PCORNetLoader_ora.sql:140-158);
+here site parameters are plain Python config and `lit()` columns.
+
+Scale posture (designed for a 1000-executor cluster, tested on local[N]):
+- AQE on: runtime coalescing, skew-join splitting.
+- Arrow on: every pandas UDF crosses the JVM<->Python boundary in
+  columnar batches.
+- Shuffle partitions default to cores locally; on a real cluster this is
+  set to ~2-3x total cores via spark-submit conf, and AQE coalesces.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Site parameters — analog of GETDATAMARTID()/GETI2B2DATASOURCE()
+# (Oracle/PCORNetLoader_ora.sql:140-158).
+DATAMART_ID = "KGF"
+DATAMART_NAME = "kgforge"
+NETWORK_ID = "CC"  # Common-Crawl-style corpus
+
+# Encoded-missingness codes carried over from the reference
+# (NI = no information, UN = unknown, OT = other;
+#  Oracle/PCORNetLoader_ora.sql:1344,1901-1916).
+NI = "NI"
+UN = "UN"
+OT = "OT"
+
+# Skew handling (SURVEY.md §7.5): number of salts for hub-entity
+# aggregations, and the LSH block-size cap (blocks larger than this are
+# split and counted in metrics — no silent caps).
+SALT_BUCKETS = 16
+MAX_LSH_BLOCK = 2000
+
+# MinHash parameters.
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+NEAR_DUP_THRESHOLD = 0.7
+
+
+def spark_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app: str = "kgforge",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build the session the whole engine runs under.
+
+    UTC session TZ is load-bearing: oracle comparisons (DuckDB) are
+    UTC-naive, and byte-identical extraction must not depend on locale.
+    """
+    n = cpus or spark_cpus()
+    sp = shuffle_partitions or n
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("KGF_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

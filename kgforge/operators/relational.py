@@ -1,0 +1,834 @@
+"""Relational operator inventory — SURVEY.md §2 re-expressed Spark-first.
+
+Each query below is one operator family from the reference
+(Oracle/PCORNetLoader_ora.sql unless noted), exercised over the driver's
+TPC-H-ish testdata so the DuckDB oracle can verify it. The KG pipeline
+(kgforge.pipeline) composes the same primitives over `pages`.
+
+Conventions:
+- every callable takes (spark, sf_dir) and returns a DataFrame
+- every computed column is aliased identically in Spark and oracle SQL
+- money aggregates go through exact DECIMAL arithmetic and are cast to
+  DOUBLE at the end, so Spark's partial-aggregation order cannot produce
+  a different float than DuckDB's serial sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgforge.sources import read_table
+
+
+def _dec(col, p=12, s=4):
+    return F.col(col).cast(T.DecimalType(p, s))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped groupBy: the EAV fact-table roll-up pattern.
+
+    Reference analog: per-emitter INSERT..SELECT aggregations, e.g. the
+    dispensing roll-up max(supply)/max(amount) per key
+    (Oracle/PCORNetLoader_ora.sql:2324-2348). Catalyst gives partial+final
+    hash aggregation; the scan reads only the 7 referenced columns.
+    """
+    li = read_table(spark, "lineitem", sf_dir)
+    one = F.lit(1).cast(T.DecimalType(12, 4))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (one - _dec("l_discount"))
+                * (one + _dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) *
+                (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE)
+           AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_group_minmax_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group min/max with NVL2-style imputation — the pmnCONDITION emitter
+    (min(encounter), min(onset), max(report), NVL2(max(end),'RS','NI');
+    Oracle/PCORNetLoader_ora.sql:1561-1578)."""
+    ev = read_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.col("user_id").alias("user_id"), F.col("event_type").alias("event_type"))
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.min("ts").alias("onset_ts"),
+            F.max("ts").alias("latest_ts"),
+            F.when(F.max("value").isNotNull(), F.lit("RS"))
+            .otherwise(F.lit("NI"))
+            .alias("resolve_status"),
+        )
+    )
+
+
+ORACLE_GROUP_MINMAX_IMPUTE = """
+SELECT user_id, event_type,
+       MIN(event_id) AS first_event_id,
+       MIN(ts) AS onset_ts,
+       MAX(ts) AS latest_ts,
+       CASE WHEN MAX(value) IS NOT NULL THEN 'RS' ELSE 'NI' END AS resolve_status
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_breakdown_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical breakdown with percent-of-total — the validation corpus
+    pattern (ADD_SCILHS_100/ETL_dict_queries-MSSQL.sql:23-45). The CTE
+    total x group counts becomes a window SUM over an empty frame (one
+    shuffle, no crossJoin)."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, "orders", sf_dir)
+    counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
+    total = Window.partitionBy()
+    return counts.select(
+        "o_orderstatus",
+        "cnt",
+        F.round(F.lit(100.0) * F.col("cnt") / F.sum("cnt").over(total), 2).alias("pct"),
+    ).orderBy("o_orderstatus")
+
+
+ORACLE_BREAKDOWN_PCT = """
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS pct
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_reconciliation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/dest reconciliation counts — the i2pReport discipline
+    (count(*), count(distinct patid) per table,
+    Oracle/PCORNetLoader_ora.sql:2451-2565). Exact countDistinct here for
+    the test gate; monitoring at 10^12 scale uses approx_count_distinct."""
+    o = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    a = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_subjects"),
+    )
+    b = li.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_subjects"),
+    )
+    return a.unionByName(b).orderBy("tbl")
+
+
+ORACLE_RECONCILIATION_COUNTS = """
+SELECT 'orders' AS tbl, COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_subjects FROM orders
+UNION ALL
+SELECT 'lineitem' AS tbl, COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_subjects FROM lineitem
+ORDER BY tbl
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def q_broadcast_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linker join shape: huge fact inner-join small dimension —
+    fact.concept_cd = ontology.c_basecode (Oracle/PCORNetLoader_ora.sql:1499).
+    Explicit F.broadcast: dictionary << facts, so no shuffle of the fact
+    side; at 100 TB this is the difference between a map-side join and a
+    full sort-merge shuffle of the corpus."""
+    li = read_table(spark, "lineitem", sf_dir)
+    part = read_table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BROADCAST_LINKER = """
+SELECT p_brand, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery decorrelated to left-semi — patient_num IN (SELECT patid
+    FROM pmndemographic) (Oracle/PCORNetLoader_ora.sql:2377, :111)."""
+    c = read_table(spark, "customer", sf_dir)
+    o = read_table(spark, "orders", sf_dir)
+    big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(big, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN codelist exclusion as left-anti join
+    (Oracle/PCORNetLoader_ora.sql:1118, :1202)."""
+    c = read_table(spark, "customer", sf_dir)
+    o = read_table(spark, "orders", sf_dir)
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def q_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment theta-join turned equi-join: the reference matches raw
+    codes inside a quoted-CSV c_dimcode via LIKE '%''code''%'
+    (Oracle/PCORNetLoader_ora.sql:1364-1365). Spark-first: explode the
+    dictionary's code list once (tiny side) and equi-join — a broadcast
+    hash join instead of a quadratic crossJoin+LIKE."""
+    seed = spark.createDataFrame(
+        [
+            ("EXPEDITED", "'1-URGENT','2-HIGH'"),
+            ("STANDARD", "'3-MEDIUM'"),
+            ("RELAXED", "'4-NOT SPECIFIED','5-LOW'"),
+        ],
+        "enc_type string, dim_codes string",
+    )
+    dic = seed.select(
+        "enc_type",
+        F.explode(F.expr(r"""regexp_extract_all(dim_codes, "'([^']*)'", 1)""")).alias(
+            "o_orderpriority"
+        ),
+    )
+    o = read_table(spark, "orders", sf_dir)
+    return (
+        o.join(F.broadcast(dic), "o_orderpriority", "inner")
+        .groupBy("enc_type")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("enc_type")
+    )
+
+
+ORACLE_THETA_CONTAINMENT = """
+WITH seed(enc_type, dim_codes) AS (
+  VALUES ('EXPEDITED', '''1-URGENT'',''2-HIGH'''),
+         ('STANDARD', '''3-MEDIUM'''),
+         ('RELAXED', '''4-NOT SPECIFIED'',''5-LOW''')
+), dict AS (
+  SELECT enc_type, UNNEST(regexp_extract_all(dim_codes, '''([^'']*)''', 1)) AS o_orderpriority
+  FROM seed
+)
+SELECT enc_type, COUNT(*) AS n_orders
+FROM orders JOIN dict USING (o_orderpriority)
+GROUP BY enc_type ORDER BY enc_type
+"""
+
+
+def q_values_seed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES reference data joined to a dimension — the
+    PMN_LabNormal seed (Oracle/PCORNetLoader_ora.sql:485-540) joined like
+    the lab reference-range left join (:1856)."""
+    seed = spark.createDataFrame(
+        [(0, "AFRICA_N", 10.0), (1, "AMERICA_N", 20.0), (2, "ASIA_N", 30.0)],
+        "r_regionkey int, norm_name string, norm_low double",
+    )
+    r = read_table(spark, "region", sf_dir)
+    n = read_table(spark, "nation", sf_dir)
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey, "inner")
+        .join(F.broadcast(seed), "r_regionkey", "left")
+        .select(
+            "n_name",
+            "r_name",
+            F.coalesce("norm_name", F.lit("NI")).alias("norm_name"),
+            F.coalesce("norm_low", F.lit(-1.0)).alias("norm_low"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_VALUES_SEED_JOIN = """
+WITH seed(r_regionkey, norm_name, norm_low) AS (
+  VALUES (0, 'AFRICA_N', 10.0), (1, 'AMERICA_N', 20.0), (2, 'ASIA_N', 30.0)
+)
+SELECT n_name, r_name,
+       COALESCE(norm_name, 'NI') AS norm_name,
+       CAST(COALESCE(norm_low, -1.0) AS DOUBLE) AS norm_low
+FROM nation JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN seed USING (r_regionkey)
+ORDER BY n_name
+"""
+
+
+def q_modifier_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modifier re-attach as ONE groupBy+pivot instead of six stacked left
+    self-joins (the reference's basis/freq/quantity/refills/supply/unit
+    joins, Oracle/PCORNetLoader_ora.sql:2202-2243). One shuffle replaces
+    six — at corpus scale this is the single biggest plan win."""
+    ev = read_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("error", F.lit(0)).alias("n_error"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_MODIFIER_PIVOT = """
+SELECT user_id,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS n_click,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS n_view,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS n_purchase,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS n_error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_eav_pivot_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical EAV->wide pivot: CASE-per-measure then MAX per key —
+    the pmnVITAL emitter (Oracle/PCORNetLoader_ora.sql:1644-1660)."""
+    ev = read_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("value"))).alias("max_click_value"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
+                "max_purchase_value"
+            ),
+            F.max(F.when(F.col("event_type") == "view", F.col("value"))).alias("max_view_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EAV_PIVOT_MAX = """
+SELECT user_id,
+       MAX(CASE WHEN event_type = 'click' THEN value END) AS max_click_value,
+       MAX(CASE WHEN event_type = 'purchase' THEN value END) AS max_purchase_value,
+       MAX(CASE WHEN event_type = 'view' THEN value END) AS max_view_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+def q_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-preference rank, keep rn=1 — the dictionary dedup
+    (row_number over partition by c_basecode order by preference,
+    Oracle/PCORNetLoader_ora.sql:1852-1857) and DRG-per-encounter dedup
+    (:1350-1356). Tiebreak includes the unique key so the winner is
+    deterministic across partition layouts."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_DEDUP_RANK = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def q_ntile_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile cohort filter — pcornetprep drops the bottom-k%
+    fact-count percentile per (age-decade, sex) stratum via ntile(100)
+    (MSSQL/PCORNetLoader.sql:2384-2394). Order includes the unique key so
+    ntile is total-ordered (deterministic across engines/parallelism)."""
+    from pyspark.sql.window import Window
+
+    c = read_table(spark, "customer", sf_dir)
+    o = read_table(spark, "orders", sf_dir)
+    facts = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(F.count("*").alias("n_facts"))
+    joined = c.join(facts, "c_custkey", "inner")
+    w = Window.partitionBy("c_mktsegment").orderBy("n_facts", "c_custkey")
+    return (
+        joined.withColumn("pct", F.ntile(100).over(w))
+        .filter(F.col("pct") > 5)
+        .select("c_custkey", "c_mktsegment", "n_facts", "pct")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_NTILE_COHORT = """
+WITH facts AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_facts FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_mktsegment, n_facts, pct FROM (
+  SELECT c.c_custkey, c.c_mktsegment, f.n_facts,
+         NTILE(100) OVER (PARTITION BY c.c_mktsegment ORDER BY f.n_facts, c.c_custkey) AS pct
+  FROM customer c JOIN facts f USING (c_custkey)
+) WHERE pct > 5 ORDER BY c_custkey
+"""
+
+
+def q_topk_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-10-by-date then AVG — the data-freshness metric
+    (MSSQL/PCORNetLoader.sql:2516-2524). orderBy(desc).limit(k) lets Spark
+    run a distributed TakeOrdered instead of a full sort."""
+    ev = read_table(spark, "events", sf_dir)
+    top = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(10)
+    return top.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.unix_timestamp("ts")), 0).cast("long").alias("avg_epoch"),
+    )
+
+
+ORACLE_TOPK_FRESHNESS = """
+SELECT COUNT(*) AS n,
+       CAST(ROUND(AVG(FLOOR(EPOCH(ts))), 0) AS BIGINT) AS avg_epoch
+FROM (SELECT ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 10)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window rank — the general form of the
+    reference's rn=1 dedups, kept as k=3 to exercise the frame."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.2 scans, filters, limits; §2.6 set ops
+# ---------------------------------------------------------------------------
+
+def q_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-window filtered scan with tight projection — the i2b2visit view
+    (start_date >= 2010-01-01 AND ..., Oracle/PCORNetLoader_ora.sql:114).
+    Both the filter and the 3-column projection reach the parquet scan
+    (PushedFilters/ReadSchema in .explain)."""
+    o = read_table(spark, "orders", sf_dir)
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_FILTERED_SCAN = """
+SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+ORDER BY o_orderkey
+"""
+
+
+def q_distinct_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + deterministic limit — the active-patient list
+    (SELECT DISTINCT patient_num WHERE ROWNUM < 1e8,
+    Oracle/PCORNetLoader_ora.sql:102-109). Ordered before limit so the
+    result is stable across partition layouts."""
+    o = read_table(spark, "orders", sf_dir)
+    return o.select("o_custkey").distinct().orderBy("o_custkey").limit(100)
+
+
+ORACLE_DISTINCT_LIMIT = """
+SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 100
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION-with-dedup — provider ids collected from two output tables
+    (Oracle/PCORNetLoader_ora.sql:2432-2436)."""
+    c = read_table(spark, "customer", sf_dir)
+    s = read_table(spark, "supplier", sf_dir)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions
+# ---------------------------------------------------------------------------
+
+def q_scheme_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scheme:value prefix strip — SUBSTR(x, INSTR(x,':')+1) at 10+ call
+    sites (Oracle/PCORNetLoader_ora.sql:1474,1602,...). Codes are
+    synthesized as 'SEG:<mktsegment>' so the split is real work."""
+    c = read_table(spark, "customer", sf_dir)
+    coded = c.select(
+        "c_custkey", F.concat(F.lit("SEG:"), F.col("c_mktsegment")).alias("code")
+    )
+    return coded.select(
+        "c_custkey",
+        "code",
+        F.substring_index("code", ":", 1).alias("scheme"),
+        F.substring_index("code", ":", -1).alias("value"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_SCHEME_SPLIT = """
+SELECT c_custkey, 'SEG:' || c_mktsegment AS code,
+       split_part('SEG:' || c_mktsegment, ':', 1) AS scheme,
+       split_part('SEG:' || c_mktsegment, ':', 2) AS value
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separate HH24:MI time-of-day columns — TO_CHAR(date,'HH24:MI')
+    (Oracle/PCORNetLoader_ora.sql:1111,1340-1342). Session TZ pinned UTC so
+    this is deterministic and oracle-comparable."""
+    ev = read_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.date_format("ts", "HH:mm").alias("event_time"),
+    ).orderBy("event_id")
+
+
+ORACLE_TIME_FORMAT = """
+SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date,
+       strftime(ts, '%H:%M') AS event_time
+FROM events ORDER BY event_id
+"""
+
+
+def q_case_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CASE decision table with encoded missingness — the
+    enc_type/tobacco/comparator maps (Oracle/PCORNetLoader_ora.sql:1344,
+    1633-1642, 1915) with NI/UN/OT defaults."""
+    ev = read_table(spark, "events", sf_dir)
+    mapped = (
+        F.when(F.col("event_type") == "click", F.lit("AV"))
+        .when(F.col("event_type") == "purchase", F.lit("IP"))
+        .when(F.col("event_type") == "view", F.lit("ED"))
+        .when(F.col("event_type").isNull(), F.lit("NI"))
+        .otherwise(F.lit("OT"))
+    )
+    return (
+        ev.select("event_id", "event_type", mapped.alias("enc_type"))
+        .orderBy("event_id")
+    )
+
+
+ORACLE_CASE_MAPPING = """
+SELECT event_id, event_type,
+       CASE WHEN event_type = 'click' THEN 'AV'
+            WHEN event_type = 'purchase' THEN 'IP'
+            WHEN event_type = 'view' THEN 'ED'
+            WHEN event_type IS NULL THEN 'NI'
+            ELSE 'OT' END AS enc_type
+FROM events ORDER BY event_id
+"""
+
+
+def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-CSV parsing — pcornet_parsecode's 40-line char-loop state
+    machine (Oracle/PCORNetLoader_ora.sql:194-231) collapses to one
+    regexp_extract_all + explode."""
+    n = read_table(spark, "nation", sf_dir)
+    csv = n.select(
+        "n_nationkey",
+        F.concat(F.lit("'"), F.col("n_name"), F.lit("','R"), F.col("n_regionkey").cast("string"), F.lit("'")).alias("dim_code"),
+    )
+    return (
+        csv.select(
+            "n_nationkey",
+            F.posexplode(F.expr(r"""regexp_extract_all(dim_code, "'([^']*)'", 1)""")).alias(
+                "pos", "code"
+            ),
+        )
+        .orderBy("n_nationkey", "pos")
+    )
+
+
+ORACLE_CSV_PARSE = """
+WITH csv AS (
+  SELECT n_nationkey,
+         '''' || n_name || ''',''R' || CAST(n_regionkey AS VARCHAR) || '''' AS dim_code
+  FROM nation
+)
+SELECT n_nationkey,
+       CAST(UNNEST(generate_series(1, len(codes))) - 1 AS INT) AS pos,
+       UNNEST(codes) AS code
+FROM (SELECT n_nationkey, regexp_extract_all(dim_code, '''([^'']*)''', 1) AS codes FROM csv)
+ORDER BY n_nationkey, pos
+"""
+
+
+def q_json_qualifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qualifier extraction from an encoded-string column — the reference
+    parses encoded strings everywhere (paths, scheme:value, quoted CSV);
+    the modern analog is a JSON props column."""
+    ev = read_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+        .filter(F.col("k_val") > 90)
+        .orderBy("event_id")
+    )
+
+
+ORACLE_JSON_QUALIFIER = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+ORDER BY event_id
+"""
+
+
+def q_value_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier suppression + comparator mapping — nval_num <= 10000000
+    guard (Oracle/PCORNetLoader_ora.sql:1687,1914) and the E/NE/L/LE/G/GE
+    comparator decode (:1915)."""
+    ev = read_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            F.when(F.col("value") <= 50.0, F.col("value")).alias("value_guarded"),
+            F.when(F.col("value") < 10, F.lit("L"))
+            .when(F.col("value") > 40, F.lit("G"))
+            .otherwise(F.lit("E"))
+            .alias("comparator"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_VALUE_GUARD = """
+SELECT event_id,
+       CASE WHEN value <= 50.0 THEN value END AS value_guarded,
+       CASE WHEN value < 10 THEN 'L' WHEN value > 40 THEN 'G' ELSE 'E' END AS comparator
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 recursion / iteration
+# ---------------------------------------------------------------------------
+
+def q_hierarchy_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-ancestor attribute propagation down a tree — the recursive
+    CTE that pushes pcori_cui/ndc from ancestors to descendants then keeps
+    the nearest via row_number over c_hlevel desc
+    (MSSQL/PCORI_MEDS_SCHEMA_CHANGE.sql:34-54).
+
+    Spark-first: iterate-to-fixpoint over a self-join. Each round, nodes
+    that still lack a value adopt their parent's resolved value; depth is
+    O(log n) for balanced trees, and each round localCheckpoints to cut
+    lineage. The tree is synthesized from doc ids (parent = id/2, value on
+    multiples of 7) so DuckDB's WITH RECURSIVE can verify it.
+    """
+    d = read_table(spark, "documents", sf_dir).select("doc_id")
+    nodes = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") > 0, F.floor(F.col("doc_id") / 2).cast("long")).alias(
+            "parent_id"
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("CUI:"), F.col("doc_id"))).alias(
+            "own_value"
+        ),
+    ).cache()
+
+    resolved = nodes.select("id", F.col("own_value").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    pending = nodes.filter(F.col("own_value").isNull()).select("id", "parent_id")
+    # fixpoint loop: climb one ancestor level per round
+    for _ in range(48):  # > max tree depth; exits early when pending is empty
+        if pending.isEmpty():
+            break
+        hit = (
+            pending.join(resolved.withColumnRenamed("id", "parent_id"), "parent_id", "inner")
+            .select("id", "value")
+        )
+        resolved = resolved.union(hit).localCheckpoint(eager=True)
+        climbed = (
+            pending.join(hit.select("id"), "id", "left_anti")
+            .join(
+                nodes.select(F.col("id").alias("parent_id"), F.col("parent_id").alias("gp")),
+                "parent_id",
+                "inner",
+            )
+            .select("id", F.col("gp").alias("parent_id"))
+            .filter(F.col("parent_id").isNotNull())
+        )
+        pending = climbed.localCheckpoint(eager=True)
+    return resolved.orderBy("id")
+
+
+ORACLE_HIERARCHY_PROPAGATION = """
+WITH RECURSIVE nodes AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id > 0 THEN CAST(FLOOR(doc_id / 2) AS BIGINT) END AS parent_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'CUI:' || CAST(doc_id AS VARCHAR) END AS own_value
+  FROM documents
+),
+walk AS (
+  -- climb from each node to its nearest valued ancestor (or self)
+  SELECT id, id AS cur, 0 AS depth FROM nodes
+  UNION ALL
+  SELECT w.id, n.parent_id AS cur, w.depth + 1
+  FROM walk w JOIN nodes n ON n.id = w.cur
+  JOIN nodes c ON c.id = w.cur
+  WHERE c.own_value IS NULL AND n.parent_id IS NOT NULL AND w.depth < 48
+),
+hit AS (
+  SELECT w.id, n.own_value AS value, w.depth,
+         ROW_NUMBER() OVER (PARTITION BY w.id ORDER BY w.depth) AS rn
+  FROM walk w JOIN nodes n ON n.id = w.cur
+  WHERE n.own_value IS NOT NULL
+)
+SELECT id, value FROM hit WHERE rn = 1 ORDER BY id
+"""
+
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_group_minmax_impute": q_group_minmax_impute,
+    "rel_breakdown_pct": q_breakdown_pct,
+    "rel_reconciliation_counts": q_reconciliation_counts,
+    "rel_broadcast_linker": q_broadcast_linker,
+    "rel_semi_join": q_semi_join,
+    "rel_anti_join": q_anti_join,
+    "rel_theta_containment": q_theta_containment,
+    "rel_values_seed_join": q_values_seed_join,
+    "rel_modifier_pivot": q_modifier_pivot,
+    "rel_eav_pivot_max": q_eav_pivot_max,
+    "rel_dedup_rank": q_dedup_rank,
+    "rel_ntile_cohort": q_ntile_cohort,
+    "rel_topk_freshness": q_topk_freshness,
+    "rel_topk_per_group": q_topk_per_group,
+    "rel_filtered_scan": q_filtered_scan,
+    "rel_distinct_limit": q_distinct_limit,
+    "rel_union_distinct": q_union_distinct,
+    "rel_scheme_split": q_scheme_split,
+    "rel_time_format": q_time_format,
+    "rel_case_mapping": q_case_mapping,
+    "rel_csv_parse": q_csv_parse,
+    "rel_json_qualifier": q_json_qualifier,
+    "rel_value_guard": q_value_guard,
+    "rel_hierarchy_propagation": q_hierarchy_propagation,
+}
+
+ORACLES = {
+    "rel_pricing_summary": ORACLE_PRICING_SUMMARY,
+    "rel_group_minmax_impute": ORACLE_GROUP_MINMAX_IMPUTE,
+    "rel_breakdown_pct": ORACLE_BREAKDOWN_PCT,
+    "rel_reconciliation_counts": ORACLE_RECONCILIATION_COUNTS,
+    "rel_broadcast_linker": ORACLE_BROADCAST_LINKER,
+    "rel_semi_join": ORACLE_SEMI_JOIN,
+    "rel_anti_join": ORACLE_ANTI_JOIN,
+    "rel_theta_containment": ORACLE_THETA_CONTAINMENT,
+    "rel_values_seed_join": ORACLE_VALUES_SEED_JOIN,
+    "rel_modifier_pivot": ORACLE_MODIFIER_PIVOT,
+    "rel_eav_pivot_max": ORACLE_EAV_PIVOT_MAX,
+    "rel_dedup_rank": ORACLE_DEDUP_RANK,
+    "rel_ntile_cohort": ORACLE_NTILE_COHORT,
+    "rel_topk_freshness": ORACLE_TOPK_FRESHNESS,
+    "rel_topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "rel_filtered_scan": ORACLE_FILTERED_SCAN,
+    "rel_distinct_limit": ORACLE_DISTINCT_LIMIT,
+    "rel_union_distinct": ORACLE_UNION_DISTINCT,
+    "rel_scheme_split": ORACLE_SCHEME_SPLIT,
+    "rel_time_format": ORACLE_TIME_FORMAT,
+    "rel_case_mapping": ORACLE_CASE_MAPPING,
+    "rel_csv_parse": ORACLE_CSV_PARSE,
+    "rel_json_qualifier": ORACLE_JSON_QUALIFIER,
+    "rel_value_guard": ORACLE_VALUE_GUARD,
+    "rel_hierarchy_propagation": ORACLE_HIERARCHY_PROPAGATION,
+}

@@ -1,0 +1,108 @@
+"""Source registry — the analog of the reference's synonym/view layer.
+
+The reference binds logical names to physical tables via synonyms and
+filtered views so the transform is site-portable
+(Oracle/PCORNetLoader_ora.sql:94-137, MSSQL/PCORNetLoader.sql:41-92).
+Here the same indirection is a thin registry over parquet paths (or an
+Iceberg catalog when its jars are present — gated behind import-try, the
+fallback-source pattern of Oracle/PCORNetLoader_ora.sql:166-177).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def have_iceberg(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable in this session."""
+    try:
+        spark._jvm.org.apache.iceberg.Schema  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Logical-name -> DataFrame binding (synonym analog)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_table_or_empty(
+    spark: SparkSession, name: str, sf_dir: str, schema: T.StructType
+) -> DataFrame:
+    """Optional source that degrades to an empty relation — the loyalty-view
+    fallback (Oracle/PCORNetLoader_ora.sql:166-177)."""
+    try:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+# ---------------------------------------------------------------------------
+# `pages` derivation: the engine's primary input has the exact shape of
+# BASELINE.json input_hint — (url, warc_ts, html, text, lang).  For the
+# driver's DuckDB-checkable queries we derive a deterministic pages view
+# from the pre-generated `documents` table; the standalone synthetic
+# generator (kgforge.synth) produces the same shape with richer dirty
+# cases for the pytest goldens.
+# ---------------------------------------------------------------------------
+
+HTML_PREFIX = "<html><head><title>d</title></head><body><nav>menu home about</nav><p>"
+HTML_SUFFIX = "</p><footer>contact terms</footer></body></html>"
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) -> pages.
+
+    url is a deterministic function of (source, doc_id); warc_ts is a
+    deterministic offset into 2023; html wraps text in fixed boilerplate
+    so the extraction stage has real work to undo byte-identically.
+    """
+    d = read_table(spark, "documents", sf_dir)
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2023-01-01 00:00:00"))
+            + F.make_interval(secs=(F.col("doc_id") % 31536000).cast("double"))
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(HTML_PREFIX), F.col("text"), F.lit(HTML_SUFFIX)),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def write_triples(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Triple sink. On a real cluster this is
+    `df.writeTo('cat.db.triples').overwritePartitions()` on an Iceberg
+    table partitioned by pred + bucket(subj); without the Iceberg jars we
+    write parquet partitioned by pred (same pruning behavior for readers).
+    """
+    df.write.mode(mode).partitionBy("pred").parquet(path)
