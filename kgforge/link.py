@@ -1,0 +1,96 @@
+"""Stage 2b — candidate linking: mentions x broadcast concept dictionary.
+
+The reference's central join: observation_fact.concept_cd =
+ontology.c_basecode with a path predicate alongside
+(Oracle/PCORNetLoader_ora.sql:1499, :1605, :1937, :2198, :2326). At
+corpus scale the dictionary is orders of magnitude smaller than the
+mention stream, so this is a broadcast hash join — the fact side is
+never shuffled.
+
+Scoring (the analog of the reference's implicit preferences): exact
+alias match scores 1.0, discounted for folder (non-leaf) targets; the
+per-mention winner is picked by window rank with deterministic
+tiebreaks, mirroring the dictionary-side dedup at
+Oracle/PCORNetLoader_ora.sql:1852-1857.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """mentions x dictionary -> candidates, one winning candidate per
+    mention.
+
+    Output: (url, warc_ts, mention_id, surface, kind, value_num,
+    value_text, concept_path, canonical_id, pred, score).
+    """
+    dic = dictionary.filter(
+        F.col("is_leaf") & F.col("canonical_id").isNotNull()
+    ).select(
+        F.col("alias").alias("surface"),
+        "concept_path",
+        "canonical_id",
+        "pred",
+        "is_leaf",
+        "hlevel",
+    )
+    cand = mentions.join(F.broadcast(dic), "surface", "inner").withColumn(
+        "score",
+        F.when(F.col("is_leaf"), F.lit(1.0)).otherwise(F.lit(0.8)),
+    )
+    # regex disambiguation analog (Oracle/PCORNetLoader_ora.sql:1502-1505):
+    # drop V/E-style codes misfiled across sibling subtrees unless the path
+    # is self-consistent with the code's scheme.
+    cand = cand.filter(
+        ~(
+            F.col("canonical_id").rlike("^[VE]")
+            & ~F.col("concept_path").rlike(r"\\(V|E)CODES?\\")
+        )
+        | F.col("canonical_id").isNull()
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc("score"), F.desc("hlevel"), F.asc("concept_path")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "url",
+            "warc_ts",
+            "mention_id",
+            "surface",
+            "kind",
+            "value_num",
+            "value_text",
+            "concept_path",
+            "canonical_id",
+            "pred",
+            "score",
+        )
+    )
+
+
+def attach_qualifiers(candidates: DataFrame) -> DataFrame:
+    """Qualifier re-attach as ONE groupBy-pivot instead of the
+    reference's six stacked left self-joins on a 6-col composite key
+    (Oracle/PCORNetLoader_ora.sql:2202-2243).
+
+    Numeric mentions on the same page qualify entity mentions: here the
+    page-level pivot collects each page's numeric observations wide, then
+    a single broadcast-friendly join re-attaches them.
+    """
+    numerics = (
+        candidates.filter(F.col("kind") == "numeric")
+        .groupBy("url")
+        .agg(
+            F.max("value_num").alias("q_max_value"),
+            F.min("value_num").alias("q_min_value"),
+            F.count(F.lit(1)).alias("q_n_numeric"),
+        )
+    )
+    entities = candidates.filter(F.col("kind") == "entity")
+    return entities.join(numerics, "url", "left")

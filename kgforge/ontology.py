@@ -1,0 +1,156 @@
+"""Ontology / concept-dictionary module — load, clean, dedup, propagate,
+broadcast.
+
+This is the analog of the reference's ontology machinery:
+- cleanup (prefix strip, folder exclusion): ontology_fix_script_ms_v5.sql
+- preference dedup (one row per alias):     Oracle/PCORNetLoader_ora.sql:1852-1857
+- hierarchy propagation (cui/ndc down-tree): MSSQL/PCORI_MEDS_SCHEMA_CHANGE.sql:34-54
+- dim-code CSV parsing:                      Oracle/PCORNetLoader_ora.sql:194-231
+
+Dictionary schema (FIXTURES.md §2):
+  concept_path string   -- backslash path, \\KG\\<DOMAIN>\\...
+  alias        string   -- surface form matched against mentions (c_basecode)
+  canonical_id string   -- scheme:value target code (pcori_basecode)
+  pred         string   -- target predicate
+  dim_codes    array<string>
+  is_leaf      boolean
+  hlevel       int
+  parent_path  string
+
+The dictionary is small relative to the corpus (10^3-10^6 rows vs 10^12
+pages), so every use site broadcasts it; nothing here shuffles the fact
+side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DICT_COLS = [
+    "concept_path",
+    "alias",
+    "canonical_id",
+    "pred",
+    "dim_codes",
+    "is_leaf",
+    "hlevel",
+    "parent_path",
+]
+
+
+def clean_dictionary(raw: DataFrame) -> DataFrame:
+    """ontology_fix analog (ontology_fix_script_ms_v5.sql): normalize
+    aliases (lowercase/trim, the reference's lower() comparisons at
+    Oracle/PCORNetLoader_ora.sql:1116-1118) and drop unusable rows.
+    Folder rows KEEP their canonical ids — they are the propagation
+    source (MSSQL/PCORI_MEDS_SCHEMA_CHANGE.sql anchors on ancestor rows
+    with codes); linking later restricts to leaves, the
+    `c_visualattributes LIKE 'L%'` discipline
+    (Oracle/PCORNetLoader_ora.sql:1121)."""
+    return raw.select(
+        F.col("concept_path"),
+        F.lower(F.trim(F.col("alias"))).alias("alias"),
+        F.col("canonical_id"),
+        F.col("pred"),
+        F.col("dim_codes"),
+        F.col("is_leaf"),
+        F.col("hlevel"),
+        F.col("parent_path"),
+    ).filter(F.col("alias").isNotNull() & (F.length("alias") > 0))
+
+
+def dedup_by_preference(dic: DataFrame) -> DataFrame:
+    """One dictionary row per alias — the pcornet_lab2 preference dedup
+    (row_number over partition by c_basecode order by preference,
+    Oracle/PCORNetLoader_ora.sql:1852-1857). Preference: leaves first,
+    deeper (more specific) paths first, then path for determinism."""
+    w = Window.partitionBy("alias").orderBy(
+        F.desc("is_leaf"), F.desc("hlevel"), F.asc("concept_path")
+    )
+    return (
+        dic.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def linker_dictionary(dic: DataFrame) -> DataFrame:
+    """The dictionary rows the linker matches against: leaves only with a
+    resolved canonical id — the `c_visualattributes LIKE 'L%'` filter
+    (Oracle/PCORNetLoader_ora.sql:1121)."""
+    return dic.filter(F.col("is_leaf") & F.col("canonical_id").isNotNull())
+
+
+def propagate_hierarchy(dic: DataFrame, max_depth: int = 20) -> DataFrame:
+    """Nearest-ancestor canonical_id propagation — the recursive-CTE
+    cui/ndc push-down (MSSQL/PCORI_MEDS_SCHEMA_CHANGE.sql:34-54).
+
+    Iterate-to-fixpoint: each round, unresolved nodes adopt the value of
+    their (transitively climbed) parent. localCheckpoint each round cuts
+    lineage so the plan stays O(1) deep. Depth is bounded by tree height
+    (<= ~10 in practice), so this is a handful of small broadcast joins
+    over the *dictionary*, never over the corpus.
+    """
+    nodes = dic.cache()
+    resolved = nodes.filter(F.col("canonical_id").isNotNull()).select(
+        "concept_path", "canonical_id"
+    )
+    pending = nodes.filter(F.col("canonical_id").isNull()).select(
+        "concept_path", F.col("parent_path").alias("cur_ancestor")
+    )
+    for _ in range(max_depth):
+        if pending.isEmpty():
+            break
+        hit = pending.join(
+            resolved.select(
+                F.col("concept_path").alias("cur_ancestor"),
+                F.col("canonical_id").alias("inherited_id"),
+            ),
+            "cur_ancestor",
+            "inner",
+        ).select("concept_path", "inherited_id")
+        resolved = resolved.union(
+            hit.select("concept_path", F.col("inherited_id").alias("canonical_id"))
+        ).localCheckpoint(eager=True)
+        parent_of = nodes.select(
+            F.col("concept_path").alias("cur_ancestor"),
+            F.col("parent_path").alias("next_ancestor"),
+        )
+        pending = (
+            pending.join(hit.select("concept_path"), "concept_path", "left_anti")
+            .join(parent_of, "cur_ancestor", "inner")
+            .select("concept_path", F.col("next_ancestor").alias("cur_ancestor"))
+            .filter(F.col("cur_ancestor").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.drop("canonical_id")
+        .join(resolved, "concept_path", "left")
+        .select(*DICT_COLS)
+    )
+
+
+def split_scheme(dic: DataFrame) -> DataFrame:
+    """scheme:value split of canonical_id (SUBSTR/INSTR at
+    Oracle/PCORNetLoader_ora.sql:1474 and 10+ other sites)."""
+    return dic.withColumn(
+        "scheme", F.substring_index("canonical_id", ":", 1)
+    ).withColumn("code", F.substring_index("canonical_id", ":", -1))
+
+
+def domain_of(dic: DataFrame) -> DataFrame:
+    """Pre-materialize the path-prefix domain (the '\\PCORI\\DIAGNOSIS\\%'
+    LIKE family, Oracle/PCORNetLoader_ora.sql:1120 etc.) as a column so
+    downstream predicates constant-fold and prune instead of re-running
+    string matches."""
+    return dic.withColumn(
+        "domain", F.element_at(F.split(F.col("concept_path"), r"\\"), 3)
+    )
+
+
+def load_dictionary(spark: SparkSession, path: str) -> DataFrame:
+    """Load + full cleanup pipeline; result is broadcast at use sites."""
+    raw = spark.read.parquet(path)
+    return domain_of(dedup_by_preference(propagate_hierarchy(clean_dictionary(raw))))

@@ -1,2 +1,379 @@
-QUERIES = {}
-ORACLES = {}
+"""End-to-end pipeline wiring + the driver-checkable kg_* queries.
+
+Two consumers:
+
+1. `run_pipeline` — the production path: pages parquet + concept_dict
+   parquet -> checkpointed stages -> partitioned triples + metrics.
+   Used by the CLI, the pytest goldens (synthetic fixture), and bench.
+
+2. `QUERIES`/`ORACLES` — the driver-checkable variant: pages derived
+   deterministically from the pre-generated `documents` table
+   (kgforge.sources.pages_from_documents) so every stage has an exact
+   DuckDB oracle. The Spark side runs the REAL engine (Arrow-UDF
+   extraction, broadcast linking, MinHash->LSH->CC canonicalization);
+   the oracle recomputes the *expected* result relationally — e.g. the
+   canonicalization oracle is exact-Jaccard + recursive-CTE transitive
+   closure, which the MinHash path must reproduce because candidates are
+   exact-verified before CC (recall loss probability ~5e-8 per pair at
+   the 0.8 threshold with 128 perms / 32 bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge import canon as C
+from kgforge import emit as E
+from kgforge import ontology as O
+from kgforge.checkpoint import CheckpointManager, fingerprint_input
+from kgforge.extract import extract_pages
+from kgforge.mentions import detect_mentions
+from kgforge.link import link_mentions
+from kgforge.metrics import triple_report, write_metrics
+from kgforge.sources import pages_from_documents
+
+NEAR_DUP_THRESHOLD = 0.8
+
+
+# ---------------------------------------------------------------------------
+# Production path
+# ---------------------------------------------------------------------------
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    dict_path: str,
+    out_dir: str,
+    langs: tuple[str, ...] | None = ("en",),
+    threshold: float = NEAR_DUP_THRESHOLD,
+    run_id: str = "run",
+) -> dict:
+    """Full checkpointed run. Re-submission with the same inputs skips
+    finished stages (resume semantics, SURVEY.md §7.6)."""
+    cp = CheckpointManager(spark, out_dir, run_id)
+    fp = fingerprint_input(pages_path)
+
+    pages = spark.read.parquet(pages_path)
+    extracted = cp.run_stage(
+        "extracted", lambda: extract_pages(pages, langs), fp
+    )
+
+    dic = O.propagate_hierarchy(
+        O.clean_dictionary(spark.read.parquet(dict_path))
+    )
+    aliases = [
+        r["alias"]
+        for r in O.linker_dictionary(dic).select("alias").distinct().collect()
+    ]
+
+    mentions = cp.run_stage(
+        "mentions", lambda: detect_mentions(extracted, aliases), fp
+    )
+    candidates = cp.run_stage(
+        "candidates", lambda: link_mentions(mentions, dic), fp
+    )
+    mapping = cp.run_stage(
+        "canon_mapping",
+        lambda: C.canonicalize(extracted, threshold=threshold)[0],
+        fp,
+    )
+    triples = cp.run_stage(
+        "triples",
+        lambda: E.all_triples(extracted, candidates, mapping).distinct(),
+        fp,
+        partition_by=["pred"],
+    )
+    report = triple_report(triples)
+    write_metrics(report, out_dir, run_id)
+    return {
+        "out_dir": out_dir,
+        "stages": [r.__dict__ for r in cp.results],
+        "n_triples": triples.count(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable queries (documents-derived pages)
+# ---------------------------------------------------------------------------
+
+# The inline concept dictionary for the oracle-checked path — deliberately
+# dirty (FIXTURES.md §2): folder with wrong canonical id, duplicate alias
+# across subtrees, leaf missing its id (must inherit), V/E codes misfiled
+# outside the VCODES subtree (regex disambiguation,
+# Oracle/PCORNetLoader_ora.sql:1502-1505).
+DIRTY_DICT_ROWS = [
+    # (concept_path, alias, canonical_id, pred, is_leaf, hlevel, parent_path)
+    (r"\KG", "_kg", None, "has", False, 1, None),
+    (r"\KG\TOPIC", "_topic_root", "TOPIC:ROOTX", "hasTopic", False, 2, r"\KG"),
+    (r"\KG\TOPIC\JOIN", "join", "TOPIC:JOIN", "hasTopic", True, 3, r"\KG\TOPIC"),
+    (r"\KG\TOPIC\HASH", "hash", "TOPIC:HASH", "hasTopic", True, 3, r"\KG\TOPIC"),
+    (r"\KG\TOPIC\SCAN", "scan", "TOPIC:SCAN", "hasTopic", True, 3, r"\KG\TOPIC"),
+    (r"\KG\TOPIC\MERGE", "merge", "TOPIC:MERGE", "hasTopic", True, 3, r"\KG\TOPIC"),
+    (r"\KG\TOPIC\SORT", "sort", "TOPIC:SORT", "hasTopic", True, 3, r"\KG\TOPIC"),
+    (r"\KG\TOPIC\FILTER", "filter", "TOPIC:FILTER", "hasTopic", True, 3, r"\KG\TOPIC"),
+    (r"\KG\TOPIC\QUERY", "query", "TOPIC:QUERY", "hasTopic", True, 3, r"\KG\TOPIC"),
+    (r"\KG\EVENT\QUERY2", "query", "EVENT:QUERYX", "hasEvent", True, 2, r"\KG\EVENT"),
+    (r"\KG\ORG\SPARK", "spark", "ORG:SPARK", "hasOrg", True, 3, r"\KG\ORG"),
+    (r"\KG\ORG\CUSTOMER", "customer", "ORG:CUSTOMER", "hasOrg", True, 3, r"\KG\ORG"),
+    (r"\KG\METRIC\WINDOW", "window", "METRIC:WINDOW", "hasMetric", True, 3, r"\KG\METRIC"),
+    (r"\KG\METRIC\BATCH", "batch", "METRIC:BATCH", "hasMetric", True, 3, r"\KG\METRIC"),
+    (r"\KG\METRIC\STREAM", "stream", "METRIC:STREAM", "hasMetric", True, 3, r"\KG\METRIC"),
+    (r"\KG\PLACE", "_place_root", "PLACE:AREA1", "hasPlace", False, 2, r"\KG"),
+    (r"\KG\PLACE\LINE", "line", None, "hasPlace", True, 3, r"\KG\PLACE"),
+    (r"\KG\VCODES\VECTOR", "vector", "V:VECTOR", "hasTopic", True, 3, r"\KG\VCODES"),
+    (r"\KG\TOPIC\VECTOR2", "vector", "V:VECBAD", "hasTopic", True, 4, r"\KG\TOPIC"),
+]
+
+DICT_SCHEMA = (
+    "concept_path string, alias string, canonical_id string, pred string, "
+    "is_leaf boolean, hlevel int, parent_path string"
+)
+
+
+def inline_dictionary(spark: SparkSession) -> DataFrame:
+    rows = [
+        (p, a, c, pr, lf, hl, pp, [a])
+        for (p, a, c, pr, lf, hl, pp) in DIRTY_DICT_ROWS
+    ]
+    return spark.createDataFrame(
+        rows, DICT_SCHEMA + ", dim_codes array<string>"
+    )
+
+
+def prepared_dictionary(spark: SparkSession) -> DataFrame:
+    """clean -> propagate on the dirty inline dictionary (the linker's
+    own window rank + regex filter handle dedup/disambiguation)."""
+    return O.propagate_hierarchy(O.clean_dictionary(inline_dictionary(spark)))
+
+
+def _linker_aliases(spark: SparkSession) -> list[str]:
+    return sorted(
+        {
+            r["alias"]
+            for r in O.linker_dictionary(prepared_dictionary(spark))
+            .select("alias")
+            .collect()
+        }
+    )
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_pages(pages_from_documents(spark, sf_dir), langs=("en",))
+
+
+def kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 evidence: Arrow-UDF extraction must reproduce the source
+    text byte-identically (md5 compared against the oracle's md5 of the
+    ground-truth text)."""
+    return _extracted(spark, sf_dir).select(
+        "url",
+        "lang",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").alias("text_len"),
+    ).orderBy("url")
+
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = detect_mentions(_extracted(spark, sf_dir), _linker_aliases(spark))
+    return (
+        m.groupBy("url", "surface")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("url", "surface")
+    )
+
+
+def kg_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = detect_mentions(_extracted(spark, sf_dir), _linker_aliases(spark))
+    c = link_mentions(m, prepared_dictionary(spark))
+    return (
+        c.groupBy(
+            "url",
+            "surface",
+            "canonical_id",
+            "pred",
+            F.substring_index("canonical_id", ":", 1).alias("obj_scheme"),
+            F.substring_index("canonical_id", ":", -1).alias("obj_code"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("url", "surface")
+    )
+
+
+def kg_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping, _metrics = C.canonicalize(
+        _extracted(spark, sf_dir), threshold=NEAR_DUP_THRESHOLD
+    )
+    return mapping.orderBy("url")
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full pipeline, projected to the assertion set."""
+    ext = _extracted(spark, sf_dir)
+    m = detect_mentions(ext, _linker_aliases(spark))
+    cand = link_mentions(m, prepared_dictionary(spark))
+    mapping, _ = C.canonicalize(ext, threshold=NEAR_DUP_THRESHOLD)
+    t = E.all_triples(ext, cand, mapping)
+    return t.select("subj", "pred", "obj", "src_url").distinct().orderBy(
+        "subj", "pred", "obj", "src_url"
+    )
+
+
+def kg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i2pReport analog over the emitted triple set."""
+    t = kg_triples(spark, sf_dir)
+    return (
+        t.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+        )
+        .orderBy("pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles — shared SQL fragments composed per stage
+# ---------------------------------------------------------------------------
+
+_SQL_PAGES = """
+pages AS (
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         text, lang
+  FROM documents
+),
+en_pages AS (SELECT * FROM pages WHERE lang = 'en')
+"""
+
+# post-clean/propagate/dedup/disambiguation winners of DIRTY_DICT_ROWS
+_SQL_DICT = """
+dict(surface, canonical_id, pred) AS (
+  VALUES ('join','TOPIC:JOIN','hasTopic'), ('hash','TOPIC:HASH','hasTopic'),
+         ('scan','TOPIC:SCAN','hasTopic'), ('merge','TOPIC:MERGE','hasTopic'),
+         ('sort','TOPIC:SORT','hasTopic'), ('filter','TOPIC:FILTER','hasTopic'),
+         ('query','TOPIC:QUERY','hasTopic'), ('spark','ORG:SPARK','hasOrg'),
+         ('customer','ORG:CUSTOMER','hasOrg'), ('window','METRIC:WINDOW','hasMetric'),
+         ('batch','METRIC:BATCH','hasMetric'), ('stream','METRIC:STREAM','hasMetric'),
+         ('line','PLACE:AREA1','hasPlace'), ('vector','V:VECTOR','hasTopic')
+)
+"""
+
+_SQL_MENTIONS = """
+words AS (
+  SELECT url, unnest(string_split(text, ' ')) AS surface FROM en_pages
+),
+mentions AS (
+  SELECT url, surface FROM words JOIN dict USING (surface)
+)
+"""
+
+_SQL_CANON = """
+sh AS (
+  SELECT url, unnest(list_distinct(
+    CASE WHEN len(string_split(text,' ')) <= 3
+         THEN [array_to_string(string_split(text,' '), ' ')]
+         ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))
+    END)) AS shingle
+  FROM en_pages
+),
+sizes AS (SELECT url, COUNT(*) AS n_sh FROM sh GROUP BY url),
+inter AS (
+  SELECT a.url AS ua, b.url AS ub, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.url < b.url
+  GROUP BY a.url, b.url
+),
+edges AS (
+  SELECT ua, ub FROM inter
+  JOIN sizes sa ON sa.url = ua JOIN sizes sb ON sb.url = ub
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+),
+bi AS (SELECT ua AS s, ub AS d FROM edges UNION SELECT ub, ua FROM edges),
+reach AS (
+  SELECT s AS src, s AS dst FROM bi
+  UNION
+  SELECT r.src, b.d FROM reach r JOIN bi b ON b.s = r.dst
+),
+comp AS (SELECT src AS url, MIN(dst) AS comp FROM reach GROUP BY src),
+canon AS (
+  SELECT p.url, COALESCE(c.comp, p.url) AS canon_url
+  FROM en_pages p LEFT JOIN comp c USING (url)
+)
+"""
+
+ORACLE_KG_EXTRACT = f"""
+WITH {_SQL_PAGES}
+SELECT url, lang, md5(text) AS text_md5, CAST(length(text) AS INT) AS text_len
+FROM en_pages ORDER BY url
+"""
+
+ORACLE_KG_MENTIONS = f"""
+WITH {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}
+SELECT url, surface, COUNT(*) AS n_mentions
+FROM mentions GROUP BY url, surface ORDER BY url, surface
+"""
+
+ORACLE_KG_LINK = f"""
+WITH {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}
+SELECT url, surface, canonical_id, pred,
+       split_part(canonical_id, ':', 1) AS obj_scheme,
+       split_part(canonical_id, ':', 2) AS obj_code,
+       COUNT(*) AS n_mentions
+FROM mentions JOIN dict USING (surface)
+GROUP BY ALL ORDER BY url, surface
+"""
+
+ORACLE_KG_CANON = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_CANON}
+SELECT url, canon_url FROM canon ORDER BY url
+"""
+
+ORACLE_KG_TRIPLES = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON}
+SELECT DISTINCT * FROM (
+  SELECT c.canon_url AS subj, 'hasLang' AS pred, p.lang AS obj, p.url AS src_url
+  FROM en_pages p JOIN canon c USING (url)
+  UNION ALL
+  SELECT c.canon_url AS subj, d.pred AS pred, d.canonical_id AS obj, m.url AS src_url
+  FROM mentions m JOIN dict d USING (surface) JOIN canon c ON c.url = m.url
+  UNION ALL
+  SELECT c.url AS subj, 'sameAs' AS pred, c.canon_url AS obj, c.url AS src_url
+  FROM canon c WHERE c.url <> c.canon_url
+) ORDER BY subj, pred, obj, src_url
+"""
+
+ORACLE_KG_REPORT = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON},
+triples AS (
+  SELECT DISTINCT * FROM (
+    SELECT c.canon_url AS subj, 'hasLang' AS pred, p.lang AS obj, p.url AS src_url
+    FROM en_pages p JOIN canon c USING (url)
+    UNION ALL
+    SELECT c.canon_url AS subj, d.pred AS pred, d.canonical_id AS obj, m.url AS src_url
+    FROM mentions m JOIN dict d USING (surface) JOIN canon c ON c.url = m.url
+    UNION ALL
+    SELECT c.url AS subj, 'sameAs' AS pred, c.canon_url AS obj, c.url AS src_url
+    FROM canon c WHERE c.url <> c.canon_url
+  )
+)
+SELECT pred, COUNT(*) AS n_triples, COUNT(DISTINCT subj) AS n_subjects
+FROM triples GROUP BY pred ORDER BY pred
+"""
+
+QUERIES = {
+    "kg_extract": kg_extract,
+    "kg_mentions": kg_mentions,
+    "kg_link": kg_link,
+    "kg_canon": kg_canon,
+    "kg_triples": kg_triples,
+    "kg_report": kg_report,
+}
+
+ORACLES = {
+    "kg_extract": ORACLE_KG_EXTRACT,
+    "kg_mentions": ORACLE_KG_MENTIONS,
+    "kg_link": ORACLE_KG_LINK,
+    "kg_canon": ORACLE_KG_CANON,
+    "kg_triples": ORACLE_KG_TRIPLES,
+    "kg_report": ORACLE_KG_REPORT,
+}
