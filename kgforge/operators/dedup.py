@@ -1,2 +1,241 @@
-QUERIES = {}
-ORACLES = {}
+"""Deduplication operators — the training-data-pipeline family.
+
+The corpus-scale posture for each:
+- exact: hash-groupBy on a 64-bit content hash (never shuffle full
+  text); at 10^12 docs this is one shuffle of (hash, url) pairs.
+- minhash-lsh: signatures in one Arrow pass, banding turns all-pairs
+  into equi-joins, hub blocks capped+counted (kgforge.canon).
+- simhash: 64-bit signature via per-token hash bit-voting, candidates
+  by 16-bit band equality, verified by hamming distance — all JVM-side
+  (xxhash64/bit ops), no Python in the plan.
+- ngram-jaccard: exact verification path, explode->equi-join->count.
+
+Driver-checkable variants run at sf0.01 (500 docs); the same code paths
+are exercised at bench scale by bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge.sources import read_table
+from kgforge import canon as C
+
+SHINGLE_K = 3
+JACCARD_T = 0.8
+
+
+def _docs_with_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic exact clones (doc_id%10==0 re-keyed at
+    +100000) so the exact-dedup operator has real duplicate groups."""
+    d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(clones)
+
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min id, count copies.
+    Output one row per duplicate GROUP (n_copies > 1). The md5 is the
+    group key evidence; at corpus scale the same plan groups by
+    xxhash64(text) and never shuffles text bodies."""
+    docs = _docs_with_clones(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+ORACLE_DD_EXACT = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM docs GROUP BY md5(text) HAVING COUNT(*) > 1
+ORDER BY keeper_doc_id
+"""
+
+
+def _shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word-k-shingles per doc — shared by the jaccard ops."""
+    words = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(words) <= k, F.array(F.concat_ws(" ", words))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k - 1 + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
+    self-equi-join on shingle (the blocking key), count intersections,
+    filter J >= 0.8. This is the exact baseline the approximate methods
+    (minhash/simhash) are measured against."""
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 9
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_DD_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(string_split(text,' ')) <= 3
+         THEN [array_to_string(string_split(text,' '), ' ')]
+         ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))
+    END)) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 9) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 9) >= 0.8
+ORDER BY a, b
+"""
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: signatures (Arrow UDF) -> banded
+    blocks -> candidate pairs -> EXACT Jaccard verification. Verified
+    output equals the exact baseline because miss probability per true
+    pair at J>=0.8 is (1-0.8^4)^32 ~ 5e-8 with 128 perms / 32 bands —
+    at 10^12 docs the same plan never materializes all-pairs, only the
+    banded candidates."""
+    docs = (
+        read_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("url"), "text")
+    )
+    sigs = C.minhash_signatures(docs, "text", "url", n_perms=128)
+    blocks = C.lsh_blocks(sigs, n_bands=32, id_col="url")
+    pairs, _metrics = C.candidate_pairs(blocks, id_col="url", max_block=2000)
+    verified = C.verify_pairs_jaccard(pairs, docs, JACCARD_T, "url", "text")
+    return (
+        verified.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.round("jaccard", 9).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+# identical expected output to the exact baseline
+ORACLE_DD_MINHASH_LSH = ORACLE_DD_NGRAM_JACCARD
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature by per-token hash
+    bit-voting (all JVM-side: xxhash64 + bit arithmetic), blocked on
+    16-bit bands, ranked by hamming distance via bit_count(xor).
+
+    No SQL oracle: simhash is an approximate signature whose candidate
+    set has no exact relational equivalent (driver records rows-only;
+    exact-clone recall is pytest-asserted against known fixtures).
+    """
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sigs = tokens.groupBy("doc_id").agg(*votes)
+    sig_expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
+    sh = sigs.select("doc_id", sig_expr.alias("simhash"))
+    # band on 4x16-bit chunks: near-dups agree on >=1 chunk w.h.p.
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    L = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "band", "chunk")
+    R = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "band", "chunk")
+    return (
+        L.join(R, ["band", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+        .orderBy("a", "b")
+    )
+
+
+QUERIES = {
+    "dd_exact": dd_exact,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash": dd_simhash,
+}
+
+ORACLES = {
+    "dd_exact": ORACLE_DD_EXACT,
+    "dd_ngram_jaccard": ORACLE_DD_NGRAM_JACCARD,
+    "dd_minhash_lsh": ORACLE_DD_MINHASH_LSH,
+    # dd_simhash: intentionally no oracle (approximate signature op)
+}
