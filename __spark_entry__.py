@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kgforge.operators import relational
     from kgforge.operators import dedup, similarity, textstats, multimodal
-    from kgforge import pipeline
+    from kgforge import pipeline, streaming
 
     out: dict[str, Callable] = {}
     out.update(relational.QUERIES)
@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(streaming.QUERIES)
     out.update(pipeline.QUERIES)
     return out
 
@@ -50,7 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from kgforge.operators import relational
     from kgforge.operators import dedup, similarity, textstats, multimodal
-    from kgforge import pipeline
+    from kgforge import pipeline, streaming
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -58,5 +59,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(streaming.ORACLES)
     out.update(pipeline.ORACLES)
     return out

@@ -1,0 +1,67 @@
+"""spark-submit entry point.
+
+Production: spark-submit --py-files kgforge.zip -m kgforge.cli run ...
+Locally:    python -m kgforge.cli run --pages ... --dict ... --out ...
+            python -m kgforge.cli synth --out /tmp/fixture --pages 1000
+
+Re-submitting the same `run` resumes from the checkpoint manifest
+(SURVEY.md §7.6) — finished stages are skipped, outputs identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kgforge")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run the full triple-emission pipeline")
+    runp.add_argument("--pages", required=True, help="pages parquet path")
+    runp.add_argument("--dict", required=True, dest="dict_path", help="concept_dict parquet path")
+    runp.add_argument("--out", required=True, help="output directory")
+    runp.add_argument("--langs", default="en", help="comma-separated lang filter, or 'all'")
+    runp.add_argument("--threshold", type=float, default=0.8)
+    runp.add_argument("--run-id", default="run")
+    runp.add_argument("--cpus", type=int, default=None)
+
+    synthp = sub.add_parser("synth", help="generate a synthetic fixture")
+    synthp.add_argument("--out", required=True)
+    synthp.add_argument("--pages", type=int, default=1000)
+    synthp.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "synth":
+        from kgforge.synth import write_fixture
+
+        info = write_fixture(args.out, n_pages=args.pages, seed=args.seed)
+        print(json.dumps(info))
+        return 0
+
+    if args.cmd == "run":
+        from kgforge.conf import get_spark
+        from kgforge.pipeline import run_pipeline
+
+        spark = get_spark("kgforge-run", cpus=args.cpus)
+        langs = None if args.langs == "all" else tuple(args.langs.split(","))
+        info = run_pipeline(
+            spark,
+            pages_path=args.pages,
+            dict_path=args.dict_path,
+            out_dir=args.out,
+            langs=langs,
+            threshold=args.threshold,
+            run_id=args.run_id,
+        )
+        print(json.dumps(info))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -176,12 +176,19 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-clone recall is pytest-asserted against known fixtures).
     """
     docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
-    tokens = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    # term-frequency-weighted voting (Charikar simhash): counts make the
+    # signature doc-specific even when token *sets* coincide
+    tokens = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w")
+            ).otherwise(-F.col("w"))
         ).alias(f"b{i}")
         for i in range(64)
     ]

@@ -146,8 +146,13 @@ def make_pages(
 
 
 def _page_row(url, i, dom, text, lang, seed, is_dup_of):
+    import html as _h
+
     ts = pd.Timestamp("2023-01-01") + pd.Timedelta(seconds=int(i) * 997 % 31536000)
-    html = HTML_TMPL.format(title=f"page {i}", domain=dom, text=text).encode("utf-8")
+    # entity-escape the body like a real page; extraction unescapes back
+    html = HTML_TMPL.format(
+        title=f"page {i}", domain=dom, text=_h.escape(text, quote=False)
+    ).encode("utf-8")
     return (url, ts, html, text, lang, text, is_dup_of)
 
 
@@ -159,6 +164,8 @@ def write_fixture(out_dir: str, n_pages: int = 1000, seed: int = 42) -> dict:
     dic = make_concept_dict(seed=seed)
     pages_path = os.path.join(out_dir, "pages.parquet")
     dict_path = os.path.join(out_dir, "concept_dict.parquet")
+    # Spark cannot read TIMESTAMP(NANOS) parquet — force microseconds
+    pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us]")
     pages.drop(columns=["true_text", "is_dup_of"]).to_parquet(pages_path, index=False)
     pages[["url", "true_text", "is_dup_of"]].to_parquet(
         os.path.join(out_dir, "golden_pages.parquet"), index=False

@@ -1,0 +1,106 @@
+"""Canonicalization: CC correctness, MinHash behavior, idempotence,
+parallelism-independence, salting equivalence (SURVEY.md §5, §7.5)."""
+
+from pyspark.sql import functions as F
+
+from kgforge.canon import (
+    canonicalize,
+    candidate_pairs,
+    connected_components,
+    lsh_blocks,
+    minhash_signatures,
+    salted_agg,
+)
+
+
+def test_connected_components_known_graph(spark):
+    """Components of size 1..5 plus one hub star — canonical = min id."""
+    edges = [
+        (1, 2), (2, 3),            # {1,2,3}
+        (10, 11),                  # {10,11}
+        (20, 21), (21, 22), (22, 23), (20, 23),  # cycle {20..23}
+    ] + [(100, 100 + i) for i in range(1, 40)]   # hub star {100..139}
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["comp"] for r in connected_components(e).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == got[22] == got[23] == 20
+    assert all(got[100 + i] == 100 for i in range(40))
+
+
+def test_minhash_identical_texts_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "the quick brown fox jumps over the lazy dog"),
+         ("c", "completely different words entirely here now")],
+        "url string, text string",
+    )
+    sigs = {r["url"]: tuple(r["sig"]) for r in minhash_signatures(df).collect()}
+    assert sigs["a"] == sigs["b"]
+    assert sigs["a"] != sigs["c"]
+
+
+def test_lsh_block_cap_counts_drops(spark):
+    """Oversized LSH blocks are dropped AND counted — no silent caps."""
+    df = spark.createDataFrame(
+        [(f"u{i}", "same text for everyone here today") for i in range(50)],
+        "url string, text string",
+    )
+    blocks = lsh_blocks(minhash_signatures(df))
+    pairs, metrics = candidate_pairs(blocks, max_block=10)
+    assert pairs.count() == 0  # every block oversized -> all dropped
+    m = metrics.collect()
+    assert m and all(r["metric"] == "lsh_block_dropped" for r in m)
+    assert sum(r["value"] for r in m) == 50 * 32  # 50 ids x 32 bands
+
+
+def test_canonicalize_finds_near_dups_and_is_idempotent(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").select("url", "text")
+    mapping, _ = canonicalize(pages)
+    rows = {r["url"]: r["canon_url"] for r in mapping.collect()}
+    # known near-dups: each mirror lands in the same component as its
+    # source page (golden is_dup_of); representative is min(component)
+    golden = spark.read.parquet(f"{fixture_dir}/golden_pages.parquet")
+    dups = [
+        (r["url"], r["is_dup_of"])
+        for r in golden.filter("is_dup_of is not null").collect()
+    ]
+    assert dups
+    hit = sum(1 for m, src in dups if rows[m] == rows[src])
+    assert hit / len(dups) >= 0.95
+    # idempotence: canonicalizing the canonical representatives is identity
+    reps = spark.createDataFrame(
+        [(v,) for v in sorted(set(rows.values()))], "url string"
+    ).join(pages, "url", "inner")
+    mapping2, _ = canonicalize(reps)
+    assert all(r["url"] == r["canon_url"] for r in mapping2.collect())
+
+
+def test_canonicalize_parallelism_independent(spark, fixture_dir):
+    """local[8]-vs-local[32] determinism evidence, in-session: the same
+    input at 1 vs 16 partitions produces the identical mapping."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").select("url", "text")
+    m1, _ = canonicalize(pages.repartition(1))
+    m16, _ = canonicalize(pages.repartition(16))
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m16.collect()))
+
+
+def test_salted_agg_equals_plain_agg(spark, fixture_dir):
+    """Salted two-phase aggregation == direct aggregation (hub-key path,
+    SURVEY.md §7.5)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plain = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in salted_agg(
+            ev, ["event_type"], {"n": ("value", "count"), "mx": ("value", "max")}
+        ).collect()
+    }
+    assert plain == salted

@@ -1,0 +1,147 @@
+"""Golden triple-set gate (P/R >= 0.95 vs the independent pandas
+reference emitter), reconciliation metrics, resume, determinism —
+the re-expression of the reference's i2pReport acceptance discipline
+(SURVEY.md §5, BASELINE.json)."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.pipeline import run_pipeline
+from tests.oracle.reference_emitter import emit_triples, precision_recall
+
+
+@pytest.fixture(scope="module")
+def run_out(spark, fixture_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kgf_run"))
+    info = run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+        langs=("en",),
+    )
+    return out, info
+
+
+def _triple_set(spark, out_dir):
+    t = spark.read.parquet(f"{out_dir}/triples")
+    return {
+        (r["subj"], r["pred"], r["obj"], r["src_url"])
+        for r in t.select("subj", "pred", "obj", "src_url").distinct().collect()
+    }
+
+
+def test_golden_precision_recall(spark, fixture_dir, run_out):
+    out, _ = run_out
+    got = _triple_set(spark, out)
+    pages = pd.read_parquet(f"{fixture_dir}/pages.parquet")
+    dic = pd.read_parquet(f"{fixture_dir}/concept_dict.parquet")
+    want = emit_triples(pages, dic, langs=("en",))
+    p, r = precision_recall(got, want)
+    assert p >= 0.95, f"precision {p:.4f} < 0.95"
+    assert r >= 0.95, f"recall {r:.4f} < 0.95"
+
+
+def test_reconciliation_counts(spark, run_out):
+    """Metrics table mirrors the actual triple output — the i2pReport
+    source/dest/diff=0 discipline."""
+    out, _ = run_out
+    t = spark.read.parquet(f"{out}/triples")
+    m = spark.read.parquet(f"{out}/_metrics")
+    per_pred = {
+        r["pred"]: (r["n_triples"], r["n_subjects"])
+        for r in m.select("pred", "n_triples", "n_subjects").collect()
+    }
+    actual = {
+        r["pred"]: (r["cnt"], r["ns"])
+        for r in t.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("subj").alias("ns"))
+        .collect()
+    }
+    assert per_pred == actual
+
+
+def test_resume_skips_completed_stages(spark, fixture_dir, run_out):
+    out, _ = run_out
+    info2 = run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+        langs=("en",),
+    )
+    assert all(s["skipped"] for s in info2["stages"])
+
+
+def test_kill_and_rerun_produces_identical_triples(spark, fixture_dir, tmp_path_factory):
+    """Simulated mid-run kill: wipe everything after stage 2, re-run,
+    assert (a) early stages were not recomputed and (b) the final triple
+    set is identical to the uninterrupted run."""
+    out = str(tmp_path_factory.mktemp("kgf_kill"))
+    info1 = run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+    )
+    full = _triple_set(spark, out)
+    # "kill" after mentions: remove later stage outputs + manifests
+    for stage in ["candidates", "canon_mapping", "triples"]:
+        shutil.rmtree(os.path.join(out, stage), ignore_errors=True)
+        mp = os.path.join(out, "_checkpoints", f"{stage}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+    info2 = run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+    )
+    skipped = {s["stage"]: s["skipped"] for s in info2["stages"]}
+    assert skipped["extracted"] and skipped["mentions"]
+    assert not skipped["candidates"] and not skipped["triples"]
+    assert _triple_set(spark, out) == full
+    assert info1["n_triples"] == info2["n_triples"]
+
+
+def test_input_change_invalidates_checkpoints(spark, fixture_dir, tmp_path_factory):
+    """A changed input fingerprint forces recompute (stale checkpoints
+    are never silently reused)."""
+    import kgforge.checkpoint as cp
+
+    out = str(tmp_path_factory.mktemp("kgf_fp"))
+    run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+    )
+    orig = cp.fingerprint_input
+    try:
+        cp.fingerprint_input = lambda p: "changed!"
+        import kgforge.pipeline as pl
+
+        old = pl.fingerprint_input
+        pl.fingerprint_input = lambda p: "changed!"
+        try:
+            info = run_pipeline(
+                spark,
+                pages_path=f"{fixture_dir}/pages.parquet",
+                dict_path=f"{fixture_dir}/concept_dict.parquet",
+                out_dir=out,
+            )
+        finally:
+            pl.fingerprint_input = old
+    finally:
+        cp.fingerprint_input = orig
+    assert not any(s["skipped"] for s in info["stages"])
+
+
+def test_triples_partitioned_by_pred(run_out):
+    out, _ = run_out
+    subdirs = [d for d in os.listdir(f"{out}/triples") if d.startswith("pred=")]
+    assert len(subdirs) >= 3  # hasLang, sameAs, at least one concept pred
