@@ -1,0 +1,95 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf",
+plus triples/sec for the flagship pipeline}.
+
+Timing uses a noop write so the full plan (including UDF columns) is
+materialized without driver-side collection cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_broadcast_linker",
+    "rel_modifier_pivot",
+    "rel_dedup_rank",
+    "rel_ntile_cohort",
+    "rel_hierarchy_propagation",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "sim_topk_bruteforce",
+    "tx_quality",
+    "tx_fingerprint",
+    "mm_meta",
+    "st_tumbling_agg",
+    "kg_extract",
+    "kg_mentions",
+    "kg_triples",
+]
+
+
+def materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> int:
+    import __spark_entry__ as se
+    from kgforge.conf import get_spark
+
+    spark = get_spark("kgforge-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    qs = se.queries()
+    timings: dict[str, float] = {}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the plan,
+    # not first-call initialization
+    materialize(qs["rel_filtered_scan"](spark, SF_DIR))
+
+    total = 0.0
+    n_triples = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        if name == "kg_triples":
+            n_triples = df.count()
+        else:
+            materialize(df)
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "kg_triples_count": n_triples,
+        "kg_triples_per_sec": round(n_triples / timings["kg_triples"], 1)
+        if timings.get("kg_triples")
+        else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,23 +43,21 @@ def _perm_params(n_perms: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable 64-bit hashes of word k-shingles (FNV-1a over the shingle
-    string; dependency-free and byte-deterministic)."""
+    """Stable hashes of distinct word k-shingles. crc32 (zlib, C speed)
+    is deterministic across processes/platforms — unlike Python's
+    builtin hash — which the cross-parallelism parity tests require."""
+    from zlib import crc32
+
     words = text.split()
     if len(words) < k:
-        shingles = [" ".join(words)] if words else []
+        shingles = {" ".join(words)} if words else set()
     else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(max(len(shingles), 1), dtype=np.uint64)
+        shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
     if not shingles:
-        out[0] = np.uint64(0)
-        return out
-    for i, s in enumerate(set(shingles)):
-        h = np.uint64(0xCBF29CE484222325)
-        for byt in s.encode("utf-8"):
-            h = (h ^ np.uint64(byt)) * np.uint64(0x100000001B3)
-        out[i] = h
-    return out[: len(set(shingles))]
+        return np.zeros(1, dtype=np.uint64)
+    return np.fromiter(
+        (crc32(s.encode("utf-8")) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
 
 
 def make_minhash_udf(n_perms: int = 128, shingle_k: int = 3, seed: int = 42):
@@ -93,11 +91,12 @@ def minhash_signatures(
     return df.select(id_col, udf(F.col(text_col)).alias("sig"))
 
 
-def lsh_blocks(sigs: DataFrame, n_bands: int = 32, id_col: str = "url") -> DataFrame:
-    """Explode each signature into (band, band_hash) block keys."""
-    n_perms = None  # rows/band derived from actual signature length
-    first = sigs.select(F.size("sig").alias("n")).first()
-    n_perms = int(first["n"]) if first else 128
+def lsh_blocks(
+    sigs: DataFrame, n_bands: int = 32, id_col: str = "url", n_perms: int = 128
+) -> DataFrame:
+    """Explode each signature into (band, band_hash) block keys.
+    n_perms is passed, not probed — probing would trigger a full extra
+    job just to read one signature's length."""
     rows_per_band = max(n_perms // n_bands, 1)
     bands = []
     for band in range(n_bands):
@@ -150,7 +149,14 @@ def verify_pairs_jaccard(
     """Exact word-shingle Jaccard verification of candidate pairs —
     MinHash proposes, exact set arithmetic disposes. Distributed as
     explode->join->count; no driver-side collection."""
-    sh = pages.select(
+    # only pages that appear in a candidate pair need shingling — the
+    # semi-join keeps the explode proportional to candidates, not corpus
+    ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh = pages.join(ids, id_col, "left_semi").select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(
@@ -187,17 +193,64 @@ def verify_pairs_jaccard(
     )
 
 
-def connected_components(
-    edges: DataFrame, max_iter: int = 20
-) -> DataFrame:
-    """Alternating large-star/small-star connected components over long
-    node ids. Input: edges(src, dst). Output: (node, component) with
-    component = min node id in the component.
+LOCAL_CC_THRESHOLD = 500_000
 
-    Each round localCheckpoints — the iteration is job control, not a
-    Catalyst concern (SURVEY.md §4). Convergence check is a cheap
-    aggregate on the (small) label-change count.
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, force_distributed: bool = False
+) -> DataFrame:
+    """Connected components. Input: edges(src, dst). Output:
+    (node, component) with component = min node id in the component.
+
+    Adaptive execution: the similarity-edge set after exact verification
+    is tiny relative to the corpus (only true near-duplicate pairs
+    survive). Below LOCAL_CC_THRESHOLD edges a driver-side union-find is
+    milliseconds, where each distributed round costs multiple scheduled
+    jobs. Above the threshold, the min-label-propagation loop runs with
+    localCheckpoint per round to cut lineage — the iteration is job
+    control, not a Catalyst concern (SURVEY.md §4); converges in
+    O(log n) rounds for min-propagation and the per-round convergence
+    check is a cheap limit(1) probe on changed labels.
     """
+    if not force_distributed:
+        n = edges.limit(LOCAL_CC_THRESHOLD + 1).count()
+        if n <= LOCAL_CC_THRESHOLD:
+            return _cc_local(edges)
+    return _cc_distributed(edges, max_iter)
+
+
+def _cc_local(edges: DataFrame) -> DataFrame:
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    pairs = [(r[0], r[1]) for r in edges.collect()]
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = sorted((n, find(n)) for n in parent)
+    schema = T.StructType(
+        [
+            T.StructField("node", edges.schema[0].dataType),
+            T.StructField("comp", edges.schema[0].dataType),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _cc_distributed(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -241,8 +294,9 @@ def canonicalize(
     """Full canonicalization: near-duplicate pages collapse to one
     canonical subject (min url in each component). Returns
     (mapping(url, canon_url), metrics)."""
+    pages = pages.cache()  # consumed twice: signatures + exact verification
     sigs = minhash_signatures(pages, text_col, id_col, n_perms)
-    blocks = lsh_blocks(sigs, n_bands, id_col)
+    blocks = lsh_blocks(sigs, n_bands, id_col, n_perms=n_perms)
     pairs, metrics = candidate_pairs(blocks, id_col, max_block)
     verified = verify_pairs_jaccard(pairs, pages, threshold, id_col, text_col)
     comps = connected_components(

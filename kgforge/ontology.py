@@ -83,16 +83,50 @@ def linker_dictionary(dic: DataFrame) -> DataFrame:
     return dic.filter(F.col("is_leaf") & F.col("canonical_id").isNotNull())
 
 
-def propagate_hierarchy(dic: DataFrame, max_depth: int = 20) -> DataFrame:
+LOCAL_DICT_THRESHOLD = 200_000
+
+
+def propagate_hierarchy(
+    dic: DataFrame, max_depth: int = 20, force_distributed: bool = False
+) -> DataFrame:
     """Nearest-ancestor canonical_id propagation — the recursive-CTE
     cui/ndc push-down (MSSQL/PCORI_MEDS_SCHEMA_CHANGE.sql:34-54).
 
-    Iterate-to-fixpoint: each round, unresolved nodes adopt the value of
-    their (transitively climbed) parent. localCheckpoint each round cuts
-    lineage so the plan stays O(1) deep. Depth is bounded by tree height
-    (<= ~10 in practice), so this is a handful of small broadcast joins
-    over the *dictionary*, never over the corpus.
+    Adaptive execution: the ontology is METADATA, usually orders of
+    magnitude smaller than the corpus (the reference walks it with
+    cursors, never the fact table). Below LOCAL_DICT_THRESHOLD rows the
+    walk runs driver-side in plain Python — a tree walk over a dict is
+    milliseconds, where a driver-loop of Spark jobs costs seconds of
+    scheduling per round. Above the threshold (or when forced, as the
+    property tests do), the distributed iterate-to-fixpoint loop runs:
+    each round unresolved nodes adopt their climbed ancestor's value,
+    localCheckpoint cuts lineage, depth is bounded by tree height.
     """
+    if not force_distributed and dic.count() <= LOCAL_DICT_THRESHOLD:
+        return _propagate_local(dic)
+    return _propagate_distributed(dic, max_depth)
+
+
+def _propagate_local(dic: DataFrame) -> DataFrame:
+    spark = dic.sparkSession
+    rows = [r.asDict() for r in dic.collect()]
+    by_path = {r["concept_path"]: r for r in rows}
+    for r in rows:
+        cid, cur, steps = r["canonical_id"], r, 0
+        while cid is None and steps < 64:
+            parent = by_path.get(cur["parent_path"]) if cur["parent_path"] else None
+            if parent is None:
+                break
+            cid, cur, steps = parent["canonical_id"], parent, steps + 1
+        r["canonical_id"] = cid
+    out = spark.createDataFrame(
+        [tuple(r[c] for c in DICT_COLS) for r in rows],
+        dic.select(*DICT_COLS).schema,
+    )
+    return out
+
+
+def _propagate_distributed(dic: DataFrame, max_depth: int = 20) -> DataFrame:
     nodes = dic.cache()
     resolved = nodes.filter(F.col("canonical_id").isNotNull()).select(
         "concept_path", "canonical_id"

@@ -141,10 +141,19 @@ def inline_dictionary(spark: SparkSession) -> DataFrame:
     )
 
 
+_DICT_CACHE: dict[int, DataFrame] = {}
+
+
 def prepared_dictionary(spark: SparkSession) -> DataFrame:
     """clean -> propagate on the dirty inline dictionary (the linker's
-    own window rank + regex filter handle dedup/disambiguation)."""
-    return O.propagate_hierarchy(O.clean_dictionary(inline_dictionary(spark)))
+    own window rank + regex filter handle dedup/disambiguation).
+    Memoized per session — the dictionary is static metadata."""
+    key = id(spark)
+    if key not in _DICT_CACHE:
+        _DICT_CACHE[key] = O.propagate_hierarchy(
+            O.clean_dictionary(inline_dictionary(spark))
+        ).cache()
+    return _DICT_CACHE[key]
 
 
 def _linker_aliases(spark: SparkSession) -> list[str]:
@@ -208,8 +217,10 @@ def kg_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: the full pipeline, projected to the assertion set."""
-    ext = _extracted(spark, sf_dir)
+    """Flagship: the full pipeline, projected to the assertion set.
+    Extraction is cached — three consumers (mentions, canonicalization,
+    page emitters) would otherwise re-run the Arrow UDF over the corpus."""
+    ext = _extracted(spark, sf_dir).cache()
     m = detect_mentions(ext, _linker_aliases(spark))
     cand = link_mentions(m, prepared_dictionary(spark))
     mapping, _ = C.canonicalize(ext, threshold=NEAR_DUP_THRESHOLD)

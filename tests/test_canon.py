@@ -21,13 +21,15 @@ def test_connected_components_known_graph(spark):
         (20, 21), (21, 22), (22, 23), (20, 23),  # cycle {20..23}
     ] + [(100, 100 + i) for i in range(1, 40)]   # hub star {100..139}
     e = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        r["node"]: r["comp"] for r in connected_components(e).collect()
-    }
-    assert got[1] == got[2] == got[3] == 1
-    assert got[10] == got[11] == 10
-    assert got[20] == got[21] == got[22] == got[23] == 20
-    assert all(got[100 + i] == 100 for i in range(40))
+    for forced in (False, True):  # local union-find AND distributed loop
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(e, force_distributed=forced).collect()
+        }
+        assert got[1] == got[2] == got[3] == 1
+        assert got[10] == got[11] == 10
+        assert got[20] == got[21] == got[22] == got[23] == 20
+        assert all(got[100 + i] == 100 for i in range(40))
 
 
 def test_minhash_identical_texts_identical_sigs(spark):

@@ -48,6 +48,17 @@ def test_linker_dictionary_leaves_only(spark):
     assert not [r for r in rows if r["alias"].startswith("_")]
 
 
+def test_propagation_distributed_equals_local(spark):
+    """The distributed fixpoint loop and the driver-side walk agree —
+    same rule, two execution strategies (adaptive cutover)."""
+    cleaned = clean_dictionary(inline_dictionary(spark))
+    local = sorted(map(tuple, propagate_hierarchy(cleaned).collect()))
+    dist = sorted(
+        map(tuple, propagate_hierarchy(cleaned, force_distributed=True).collect())
+    )
+    assert local == dist
+
+
 def test_synth_dictionary_roundtrip(spark, fixture_dir):
     """The synthetic dirty dictionary survives the full cleanup: every
     surviving linker row has a canonical id, and inherited ids resolve
