@@ -1,0 +1,118 @@
+"""Scaling-efficiency evidence (north_rule): same job + same input at
+local[N] and local[4N]; report throughput at both and
+efficiency = tput(4N) / (4 x tput(N)), target >= 0.8.
+
+Each parallelism level runs in its own subprocess (fresh JVM) so no
+executor-thread state leaks between measurements. Run:
+
+    python BENCH/scaling.py [--pages 100000] [--n 8] [--repeat 1]
+
+Writes/updates BENCH/BASELINE.md with the measured table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+from datetime import date
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def run_level(cpus: int, fixture: str) -> dict:
+    out = tempfile.mkdtemp(prefix=f"kgf_scale_{cpus}_")
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "BENCH" / "run_one.py"),
+             "--cpus", str(cpus), "--fixture", fixture, "--out", out],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"run_one cpus={cpus} failed:\n{proc.stderr[-2000:]}")
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        return json.loads(line)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=100_000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism N (large is 4N)")
+    ap.add_argument("--repeat", type=int, default=1, help="take best-of-k per level")
+    args = ap.parse_args()
+
+    from kgforge.synth import write_fixture
+
+    fixture = tempfile.mkdtemp(prefix="kgf_scale_fix_")
+    print(f"generating {args.pages}-page fixture at {fixture} ...", file=sys.stderr)
+    write_fixture(fixture, n_pages=args.pages, seed=42)
+
+    results = {}
+    try:
+        for cpus in (args.n, args.n * 4):
+            best = None
+            for _ in range(args.repeat):
+                r = run_level(cpus, fixture)
+                if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
+                    best = r
+            results[cpus] = best
+            print(json.dumps(best), file=sys.stderr)
+    finally:
+        shutil.rmtree(fixture, ignore_errors=True)
+
+    small, large = results[args.n], results[args.n * 4]
+    assert small["n_triples"] == large["n_triples"], (
+        f"parallelism changed the output! {small['n_triples']} vs {large['n_triples']}"
+    )
+    eff = large["triples_per_sec"] / (4 * small["triples_per_sec"])
+    summary = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_small": args.n,
+        "n_large": args.n * 4,
+        "tput_small": small["triples_per_sec"],
+        "tput_large": large["triples_per_sec"],
+        "wall_small_s": small["wall_s"],
+        "wall_large_s": large["wall_s"],
+        "n_triples": large["n_triples"],
+        "pages": args.pages,
+        "identical_output": True,
+    }
+    print(json.dumps(summary))
+    _append_baseline(summary, small, large)
+    return 0
+
+
+def _append_baseline(summary: dict, small: dict, large: dict) -> None:
+    md = REPO / "BENCH" / "BASELINE.md"
+    lines = [
+        "",
+        f"## Measured {date.today().isoformat()} — {summary['pages']} pages, "
+        f"local[{summary['n_small']}] vs local[{summary['n_large']}]",
+        "",
+        "| parallelism | wall (s) | triples | triples/sec | per-stage (s) |",
+        "|---|---|---|---|---|",
+        f"| local[{summary['n_small']}] | {small['wall_s']} | {small['n_triples']} | "
+        f"{small['triples_per_sec']} | {json.dumps(small['stages'])} |",
+        f"| local[{summary['n_large']}] | {large['wall_s']} | {large['n_triples']} | "
+        f"{large['triples_per_sec']} | {json.dumps(large['stages'])} |",
+        "",
+        f"**Scaling efficiency N→4N: {summary['value']:.3f}** "
+        f"(= {large['triples_per_sec']} / (4 × {small['triples_per_sec']})); "
+        f"target ≥ 0.8. Output triple sets identical across parallelism levels.",
+        "",
+    ]
+    with open(md, "a") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -121,6 +121,9 @@ def candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join within LSH blocks -> candidate pairs (a < b), with hub
     blocks capped and counted. Returns (pairs, block_metrics)."""
+    # blocks feeds both the size census and the join below — materialize
+    # once, or the signature UDF chain re-runs per consumer
+    blocks = blocks.localCheckpoint(eager=True)
     sized = blocks.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
     oversize = sized.filter(F.col("n") > max_block)
     ok = blocks.join(
@@ -297,8 +300,13 @@ def canonicalize(
     pages = pages.cache()  # consumed twice: signatures + exact verification
     sigs = minhash_signatures(pages, text_col, id_col, n_perms)
     blocks = lsh_blocks(sigs, n_bands, id_col, n_perms=n_perms)
+    # each downstream step has multiple consumers (ids + join, probe +
+    # collect); materialize the small intermediates exactly once
     pairs, metrics = candidate_pairs(blocks, id_col, max_block)
-    verified = verify_pairs_jaccard(pairs, pages, threshold, id_col, text_col)
+    pairs = pairs.localCheckpoint(eager=True)
+    verified = verify_pairs_jaccard(
+        pairs, pages, threshold, id_col, text_col
+    ).localCheckpoint(eager=True)
     comps = connected_components(
         verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )

@@ -38,39 +38,43 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         "is_leaf",
         "hlevel",
     )
-    cand = mentions.join(F.broadcast(dic), "surface", "inner").withColumn(
-        "score",
-        F.when(F.col("is_leaf"), F.lit(1.0)).otherwise(F.lit(0.8)),
-    )
     # regex disambiguation analog (Oracle/PCORNetLoader_ora.sql:1502-1505):
     # drop V/E-style codes misfiled across sibling subtrees unless the path
-    # is self-consistent with the code's scheme.
-    cand = cand.filter(
+    # is self-consistent with the code's scheme. Applied DICTIONARY-side.
+    dic = dic.filter(
         ~(
             F.col("canonical_id").rlike("^[VE]")
             & ~F.col("concept_path").rlike(r"\\(V|E)CODES?\\")
         )
         | F.col("canonical_id").isNull()
-    )
-    w = Window.partitionBy("mention_id").orderBy(
+    ).withColumn("score", F.when(F.col("is_leaf"), F.lit(1.0)).otherwise(F.lit(0.8)))
+    # Winner-per-alias rank also runs DICTIONARY-side: the preference
+    # (score, hlevel, path) depends only on dictionary attributes, so
+    # ranking the tiny dictionary is equivalent to ranking per mention —
+    # and it makes the linker SHUFFLE-FREE: one broadcast hash join over
+    # the mention stream, no window over 10^12 rows. This is the
+    # reference's own dedup-before-join rewrite (pcornet_lab2,
+    # Oracle/PCORNetLoader_ora.sql:1846-1859; SURVEY.md §4).
+    w = Window.partitionBy("surface").orderBy(
         F.desc("score"), F.desc("hlevel"), F.asc("concept_path")
     )
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
+    winners = (
+        dic.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            "url",
-            "warc_ts",
-            "mention_id",
-            "surface",
-            "kind",
-            "value_num",
-            "value_text",
-            "concept_path",
-            "canonical_id",
-            "pred",
-            "score",
-        )
+        .drop("_rn", "is_leaf")
+    )
+    return mentions.join(F.broadcast(winners), "surface", "inner").select(
+        "url",
+        "warc_ts",
+        "mention_id",
+        "surface",
+        "kind",
+        "value_num",
+        "value_text",
+        "concept_path",
+        "canonical_id",
+        "pred",
+        "score",
     )
 
 

@@ -55,6 +55,12 @@ def run_pipeline(
     fp = fingerprint_input(pages_path)
 
     pages = spark.read.parquet(pages_path)
+    # an under-split input (one big row group) would serialize every
+    # Arrow-UDF stage onto one task; repartition to the session's
+    # parallelism when the scan yields too few splits
+    want = spark.sparkContext.defaultParallelism * 2
+    if pages.rdd.getNumPartitions() < want:
+        pages = pages.repartition(want)
     extracted = cp.run_stage(
         "extracted", lambda: extract_pages(pages, langs), fp
     )

@@ -166,7 +166,11 @@ def write_fixture(out_dir: str, n_pages: int = 1000, seed: int = 42) -> dict:
     dict_path = os.path.join(out_dir, "concept_dict.parquet")
     # Spark cannot read TIMESTAMP(NANOS) parquet — force microseconds
     pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us]")
-    pages.drop(columns=["true_text", "is_dup_of"]).to_parquet(pages_path, index=False)
+    # small row groups keep the file splittable so Spark parallelizes the
+    # scan even when the fixture is a single file
+    pages.drop(columns=["true_text", "is_dup_of"]).to_parquet(
+        pages_path, index=False, row_group_size=2048
+    )
     pages[["url", "true_text", "is_dup_of"]].to_parquet(
         os.path.join(out_dir, "golden_pages.parquet"), index=False
     )
