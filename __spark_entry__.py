@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kgforge.operators import relational
-    from kgforge.operators import dedup, similarity, textstats, multimodal
+    from kgforge.operators import dedup, similarity, textstats, multimodal, temporal
     from kgforge import pipeline, streaming
 
     out: dict[str, Callable] = {}
@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(temporal.QUERIES)
     out.update(streaming.QUERIES)
     out.update(pipeline.QUERIES)
     return out
@@ -50,7 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from kgforge.operators import relational
-    from kgforge.operators import dedup, similarity, textstats, multimodal
+    from kgforge.operators import dedup, similarity, textstats, multimodal, temporal
     from kgforge import pipeline, streaming
 
     out: dict[str, str] = {}
@@ -59,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(temporal.ORACLES)
     out.update(streaming.ORACLES)
     out.update(pipeline.ORACLES)
     return out

@@ -777,7 +777,129 @@ SELECT id, value FROM hit WHERE rn = 1 ORDER BY id
 """
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> total) — beyond the
+    reference's flat GROUP BYs, the multi-level reporting shape its
+    validation corpus approximates with repeated queries."""
+    n = read_table(spark, "nation", sf_dir)
+    r = read_table(spark, "region", sf_dir)
+    c = read_table(spark, "customer", sf_dir)
+    j = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal", 18, 4)).cast("double").alias("total_balance"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL without dedup — the concept-path seed-list / fact-union
+    pattern (Oracle/PCORNetLoader_ora.sql:1674-1688)."""
+    c = read_table(spark, "customer", sf_dir)
+    s = read_table(spark, "supplier", sf_dir)
+    u = c.select(
+        F.lit("cust").alias("kind"), F.col("c_nationkey").alias("nationkey")
+    ).unionByName(
+        s.select(F.lit("supp").alias("kind"), F.col("s_nationkey").alias("nationkey"))
+    )
+    return u.groupBy("kind", "nationkey").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        "kind", "nationkey"
+    )
+
+
+ORACLE_UNION_ALL = """
+SELECT kind, nationkey, COUNT(*) AS n FROM (
+  SELECT 'cust' AS kind, c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT 'supp' AS kind, s_nationkey AS nationkey FROM supplier
+) GROUP BY kind, nationkey ORDER BY kind, nationkey
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set difference (available beyond the reference's UNION-only
+    surface, SURVEY.md §2.6 note)."""
+    c = read_table(spark, "customer", sf_dir)
+    o = read_table(spark, "orders", sf_dir)
+    buyers = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return building.subtract(buyers).orderBy("c_custkey")  # EXCEPT (distinct)
+
+
+ORACLE_EXCEPT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+ORDER BY c_custkey
+"""
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — nations that have both customers and suppliers."""
+    c = read_table(spark, "customer", sf_dir)
+    s = read_table(spark, "supplier", sf_dir)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — the modern form of the
+    reference's ntile-based cohort statistics."""
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MEDIAN = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "rel_rollup": q_rollup,
+    "rel_union_all": q_union_all,
+    "rel_except": q_except,
+    "rel_intersect": q_intersect,
+    "rel_median": q_median,
     "rel_pricing_summary": q_pricing_summary,
     "rel_group_minmax_impute": q_group_minmax_impute,
     "rel_breakdown_pct": q_breakdown_pct,
@@ -806,6 +928,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_rollup": ORACLE_ROLLUP,
+    "rel_union_all": ORACLE_UNION_ALL,
+    "rel_except": ORACLE_EXCEPT,
+    "rel_intersect": ORACLE_INTERSECT,
+    "rel_median": ORACLE_MEDIAN,
     "rel_pricing_summary": ORACLE_PRICING_SUMMARY,
     "rel_group_minmax_impute": ORACLE_GROUP_MINMAX_IMPUTE,
     "rel_breakdown_pct": ORACLE_BREAKDOWN_PCT,

@@ -86,7 +86,13 @@ def run_pipeline(
     )
     triples = cp.run_stage(
         "triples",
-        lambda: E.all_triples(extracted, candidates, mapping).distinct(),
+        # repartition by pred before the partitioned write: output file
+        # count tracks the predicate count, not cores x predicates —
+        # at 1000 executors an unpartitioned write would spray
+        # executors x preds small files
+        lambda: E.all_triples(extracted, candidates, mapping)
+        .distinct()
+        .repartition("pred"),
         fp,
         partition_by=["pred"],
     )
