@@ -72,7 +72,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("KGF_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # fine scan splits: local bench corpora are a few hundred MB, and
+        # UDF stages need more splits than 128MB chunks would give; on a
+        # real cluster this is raised back via spark-submit conf
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

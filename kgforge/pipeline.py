@@ -54,13 +54,10 @@ def run_pipeline(
     cp = CheckpointManager(spark, out_dir, run_id)
     fp = fingerprint_input(pages_path)
 
+    # scan splits come from spark.sql.files.maxPartitionBytes (8MB in
+    # kgforge.conf) — no repartition shuffle; the parquet scan itself
+    # fans out to every core
     pages = spark.read.parquet(pages_path)
-    # an under-split input (one big row group) would serialize every
-    # Arrow-UDF stage onto one task; repartition to the session's
-    # parallelism when the scan yields too few splits
-    want = spark.sparkContext.defaultParallelism * 2
-    if pages.rdd.getNumPartitions() < want:
-        pages = pages.repartition(want)
     extracted = cp.run_stage(
         "extracted", lambda: extract_pages(pages, langs), fp
     )
@@ -86,13 +83,13 @@ def run_pipeline(
     )
     triples = cp.run_stage(
         "triples",
-        # repartition by pred before the partitioned write: output file
-        # count tracks the predicate count, not cores x predicates —
-        # at 1000 executors an unpartitioned write would spray
-        # executors x preds small files
+        # range-partition by (pred, subj) before the partitioned write:
+        # write parallelism scales with shuffle partitions while each
+        # task holds 1-2 contiguous preds, so file count stays
+        # ~tasks + preds instead of tasks x preds
         lambda: E.all_triples(extracted, candidates, mapping)
         .distinct()
-        .repartition("pred"),
+        .repartitionByRange("pred", "subj"),
         fp,
         partition_by=["pred"],
     )

@@ -95,6 +95,38 @@ def test_exact_dedup_finds_planted_clones(spark, sf01):
     assert all(r["keeper_doc_id"] % 10 == 0 for r in rows)
 
 
+def test_fallback_source_degrades_to_empty(spark, sf01):
+    """Optional input missing -> empty relation, not an exception (the
+    loyalty-view fallback, Oracle/PCORNetLoader_ora.sql:166-177)."""
+    from pyspark.sql import types as T
+    from kgforge.sources import read_table_or_empty
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    df = read_table_or_empty(spark, "no_such_table", sf01, schema)
+    assert df.count() == 0
+    assert df.schema == schema
+    real = read_table_or_empty(spark, "nation", sf01, schema)
+    assert real.count() == 25
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """The spark-submit --py-files artifact contains the whole package."""
+    import subprocess, sys, zipfile
+    from tools.package import build
+
+    z = build(tmp_path / "kgforge.zip")
+    names = zipfile.ZipFile(z).namelist()
+    assert "kgforge/pipeline.py" in names and "kgforge/cli.py" in names
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import kgforge.canon, kgforge.emit, kgforge.cli; print('ok')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code, str(z)], capture_output=True, text=True
+    )
+    assert r.stdout.strip() == "ok", r.stderr
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf01):
     bf = {
         (r["query_id"], r["cand_id"])
