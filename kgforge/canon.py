@@ -14,11 +14,13 @@ Scale design:
   *counted* in the returned metrics DataFrame — no silent caps
   (SURVEY.md §7.5). A hub block of size B contributes B^2 candidate
   pairs; capping bounds the worst shuffle.
-- Connected components run the alternating large-star / small-star
-  iteration (Kiveris et al., "Connected Components in MapReduce and
-  Beyond", SOCC'14) with localCheckpoint per round to cut lineage —
-  converges in O(log^2 n) rounds on pathological graphs, ~4-6 rounds in
-  practice.
+- Connected components: driver-side union-find below a size threshold
+  (the verified near-dup edge set is tiny relative to the corpus), and a
+  distributed min-label-propagation loop above it, localCheckpoint per
+  round to cut lineage. Propagation converges in O(component diameter)
+  rounds — near-dup components are shallow (stars/cliques), so this
+  beats the constant-factor overhead of large-star/small-star here; swap
+  in the Kiveris et al. alternation if deep-chain graphs ever appear.
 - All ids are xxhash64 of the natural key: deterministic across runs,
   partition layouts, and parallelism levels.
 """
