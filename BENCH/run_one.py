@@ -17,6 +17,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
@@ -31,8 +33,23 @@ def main() -> int:
     from kgforge.pipeline import run_pipeline
 
     spark = get_spark(f"kgf-scale-{args.cpus}", cpus=args.cpus, shuffle_partitions=args.cpus)
-    # warm: touch the input once so OS page cache parity across runs
+    # warm outside the measured region (steady-state throughput,
+    # SURVEY.md §7.4.5): OS page cache for the input, and one trivial
+    # pandas-UDF job so every python worker is spawned with
+    # pandas/numpy imported before t0 — worker spin-up is a per-boot
+    # constant, not pipeline throughput.
     spark.read.parquet(f"{args.fixture}/pages.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(0, 4 * args.cpus, 1, numPartitions=4 * args.cpus).select(
+        F.sum(_warm("id"))
+    ).collect()
 
     t0 = time.time()
     info = run_pipeline(

@@ -98,19 +98,22 @@ def lsh_blocks(
 ) -> DataFrame:
     """Explode each signature into (band, band_hash) block keys.
     n_perms is passed, not probed — probing would trigger a full extra
-    job just to read one signature's length."""
+    job just to read one signature's length.
+
+    The band hash feeds xxhash64 the signature LONGS directly
+    (element_at per row of the band), never strings: casting 128 longs
+    to strings and concatenating per row is allocation-rate bound and
+    measured 5-9x slower — worse the more cores allocate at once
+    (59.6s vs 6.4s for the block-build at 400k pages on local[32])."""
     rows_per_band = max(n_perms // n_bands, 1)
     bands = []
     for band in range(n_bands):
-        lo = band * rows_per_band + 1  # slice is 1-based
+        lo = band * rows_per_band + 1  # element_at is 1-based
+        args = [F.element_at("sig", lo + j) for j in range(rows_per_band)]
         bands.append(
             F.struct(
                 F.lit(band).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice("sig", lo, rows_per_band), lambda x: x.cast("string")
-                    ))
-                ).alias("band_hash"),
+                F.xxhash64(*args).alias("band_hash"),
             )
         )
     return sigs.select(
@@ -121,25 +124,46 @@ def lsh_blocks(
 def candidate_pairs(
     blocks: DataFrame, id_col: str = "url", max_block: int = 2000
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join within LSH blocks -> candidate pairs (a < b), with hub
-    blocks capped and counted. Returns (pairs, block_metrics)."""
-    # blocks feeds both the size census and the join below — materialize
-    # once, or the signature UDF chain re-runs per consumer
-    blocks = blocks.localCheckpoint(eager=True)
-    sized = blocks.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
-    oversize = sized.filter(F.col("n") > max_block)
-    ok = blocks.join(
-        oversize.select("band", "band_hash"), ["band", "band_hash"], "left_anti"
+    """Pairs (a < b) of ids sharing an LSH block, hub blocks capped and
+    counted. Returns (pairs, block_metrics).
+
+    Shape: ONE shuffle — groupBy block key collecting the member ids,
+    then the i<j pair expansion runs as nested array transforms inside
+    whole-stage codegen. The alternatives both anti-scaled when
+    measured: a within-block self-join shuffles the block table again
+    and pays sort-merge machinery per block, and a window-count
+    formulation buffers the whole exploded block table through
+    localCheckpoint (~GBs at 10^6 pages, worse with more cores).
+    Quadratic blow-up is bounded because blocks bigger than max_block
+    are dropped — and COUNTED in the metrics frame, no silent caps
+    (SURVEY.md §7.5)."""
+    g = blocks.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids"),
+        F.count(F.lit(1)).alias("n"),
     )
-    L = ok.select(F.col(id_col).alias("a"), "band", "band_hash")
-    R = ok.select(F.col(id_col).alias("b"), "band", "band_hash")
+    ok = g.filter((F.col("n") >= 2) & (F.col("n") <= max_block))
     pairs = (
-        L.join(R, ["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        ok.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "ids",
+                                i + F.lit(2),
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
-    metrics = oversize.select(
+    metrics = g.filter(F.col("n") > max_block).select(
         F.lit("lsh_block_dropped").alias("metric"),
         F.col("band").cast("string").alias("key"),
         F.col("n").alias("value"),
@@ -147,51 +171,61 @@ def candidate_pairs(
     return pairs, metrics
 
 
+def make_shingle_set_udf(shingle_k: int = 3):
+    """Sorted distinct crc32 hashes of a page's word k-shingles — the
+    SAME shingle universe the MinHash signatures are built from, so
+    verification and blocking agree exactly."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def shingle_set(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append([])
+                continue
+            hs = np.unique(_shingle_hashes(t, shingle_k))
+            out.append(hs.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return shingle_set
+
+
 def verify_pairs_jaccard(
     pairs: DataFrame, pages: DataFrame, threshold: float,
     id_col: str = "url", text_col: str = "text", shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact word-shingle Jaccard verification of candidate pairs —
-    MinHash proposes, exact set arithmetic disposes. Distributed as
-    explode->join->count; no driver-side collection."""
-    # only pages that appear in a candidate pair need shingling — the
-    # semi-join keeps the explode proportional to candidates, not corpus
+    """Exact shingle-set Jaccard verification of candidate pairs —
+    MinHash proposes, exact set arithmetic disposes.
+
+    Shape matters at scale: the obvious explode(shingle)->groupBy->
+    join-per-side plan creates |pages|x|shingles| rows, re-evaluates the
+    shingling expression on every join branch, and funnels everything
+    through wide shuffles — measured 7x ANTI-scaling from local[8] to
+    local[32] on this box. Instead each candidate page is shingled ONCE
+    into a sorted hash array (Arrow-batched UDF), then two hash joins
+    attach the arrays to each pair and `array_intersect` computes the
+    overlap per row: linear work, two small shuffles, no explode."""
     ids = (
         pairs.select(F.col("a").alias(id_col))
         .union(pairs.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    sh = pages.join(ids, id_col, "left_semi").select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(
-                            F.size(F.split(F.col(text_col), " ")) - shingle_k, F.lit(0)
-                        ),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, shingle_k)
-                    ),
-                )
-            )
-        ).alias("shingle"),
+    sh_udf = make_shingle_set_udf(shingle_k)
+    # only pages that appear in a candidate pair need shingling — the
+    # semi-join keeps UDF work proportional to candidates, not corpus
+    sub = (
+        pages.join(ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("sh"))
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("id").alias("a"), "shingle")
-    sb = sh.select(F.col("id").alias("b"), "shingle")
-    inter = (
-        pairs.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    a_side = sub.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    b_side = sub.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
     return (
-        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "n_a"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "n_b"), "b")
+        pairs.join(a_side, "a").join(b_side, "b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -300,10 +334,13 @@ def canonicalize(
     canonical subject (min url in each component). Returns
     (mapping(url, canon_url), metrics)."""
     pages = pages.cache()  # consumed twice: signatures + exact verification
-    sigs = minhash_signatures(pages, text_col, id_col, n_perms)
+    # checkpoint the SIGNATURES (|corpus| x 128 longs), not the exploded
+    # block table (x n_bands bigger): everything downstream re-derives
+    # from sigs with cheap column ops, and the minhash UDF never re-runs
+    sigs = minhash_signatures(pages, text_col, id_col, n_perms).localCheckpoint(
+        eager=True
+    )
     blocks = lsh_blocks(sigs, n_bands, id_col, n_perms=n_perms)
-    # each downstream step has multiple consumers (ids + join, probe +
-    # collect); materialize the small intermediates exactly once
     pairs, metrics = candidate_pairs(blocks, id_col, max_block)
     pairs = pairs.localCheckpoint(eager=True)
     verified = verify_pairs_jaccard(

@@ -29,12 +29,17 @@ def stage_counts(df: DataFrame, stage: str, subj_col: str | None = None) -> Data
 def triple_report(triples: DataFrame) -> DataFrame:
     """Per-predicate reconciliation: counts, distinct subjects, max
     source timestamp (the data-freshness metric,
-    MSSQL/PCORNetLoader.sql:2516-2524)."""
+    MSSQL/PCORNetLoader.sql:2516-2524).
+
+    This is the run-internal MONITORING report: distinct subjects use
+    approx_count_distinct so the pass over the triple table stays one
+    map-side-partial aggregation (SURVEY.md §2.4). The oracle-checked
+    exact variant is the kg_report query in kgforge.pipeline."""
     return (
         triples.groupBy("pred")
         .agg(
             F.count(F.lit(1)).alias("n_triples"),
-            F.countDistinct("subj").alias("n_subjects"),
+            F.approx_count_distinct("subj").alias("n_subjects"),
             F.max("src_ts").alias("max_src_ts"),
         )
         .orderBy("pred")

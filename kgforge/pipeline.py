@@ -83,22 +83,31 @@ def run_pipeline(
     )
     triples = cp.run_stage(
         "triples",
-        # range-partition by (pred, subj) before the partitioned write:
-        # write parallelism scales with shuffle partitions while each
-        # task holds 1-2 contiguous preds, so file count stays
-        # ~tasks + preds instead of tasks x preds
-        lambda: E.all_triples(extracted, candidates, mapping)
-        .distinct()
-        .repartitionByRange("pred", "subj"),
+        # distinct() already hash-shuffles the full row set; write the
+        # pred-partitioned layout straight from that exchange. A second
+        # repartitionByRange would add a sampling pass + one more full
+        # shuffle of the triple set for nothing locally (file count is
+        # bounded by tasks x |preds|, and |preds| is small); on a real
+        # deployment the sink's write.distribution-mode does this
+        # clustering inside the same write.
+        lambda: E.all_triples(extracted, candidates, mapping).distinct(),
         fp,
         partition_by=["pred"],
     )
     report = triple_report(triples)
     write_metrics(report, out_dir, run_id)
+    # rows_out was counted once by the checkpoint manager when the stage
+    # materialized — do not re-scan the triple table just to repeat it
+    n_triples = next(
+        (r.rows_out for r in cp.results if r.stage == "triples" and r.rows_out >= 0),
+        None,
+    )
+    if n_triples is None:
+        n_triples = triples.count()
     return {
         "out_dir": out_dir,
         "stages": [r.__dict__ for r in cp.results],
-        "n_triples": triples.count(),
+        "n_triples": n_triples,
     }
 
 

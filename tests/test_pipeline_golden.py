@@ -48,7 +48,9 @@ def test_golden_precision_recall(spark, fixture_dir, run_out):
 
 def test_reconciliation_counts(spark, run_out):
     """Metrics table mirrors the actual triple output — the i2pReport
-    source/dest/diff=0 discipline."""
+    source/dest/diff=0 discipline. Triple counts are exact; distinct
+    subjects are the monitoring approx_count_distinct (SURVEY.md §2.4),
+    asserted within its documented ~5% relative standard deviation."""
     out, _ = run_out
     t = spark.read.parquet(f"{out}/triples")
     m = spark.read.parquet(f"{out}/_metrics")
@@ -62,7 +64,11 @@ def test_reconciliation_counts(spark, run_out):
         .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("subj").alias("ns"))
         .collect()
     }
-    assert per_pred == actual
+    assert set(per_pred) == set(actual)
+    for pred, (n_triples, n_subj_approx) in per_pred.items():
+        n_triples_exact, n_subj_exact = actual[pred]
+        assert n_triples == n_triples_exact, pred
+        assert abs(n_subj_approx - n_subj_exact) <= max(0.1 * n_subj_exact, 2), pred
 
 
 def test_resume_skips_completed_stages(spark, fixture_dir, run_out):
