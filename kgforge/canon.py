@@ -252,13 +252,16 @@ def connected_components(
     check is a cheap limit(1) probe on changed labels.
     """
     if not force_distributed:
-        n = edges.limit(LOCAL_CC_THRESHOLD + 1).count()
-        if n <= LOCAL_CC_THRESHOLD:
-            return _cc_local(edges)
+        # ONE job decides and fetches: take() pulls at most threshold+1
+        # rows; if the edge set fits, those same rows feed the
+        # union-find — no separate size-probe job, no second collect.
+        head = edges.take(LOCAL_CC_THRESHOLD + 1)
+        if len(head) <= LOCAL_CC_THRESHOLD:
+            return _cc_local(edges, rows=head)
     return _cc_distributed(edges, max_iter)
 
 
-def _cc_local(edges: DataFrame) -> DataFrame:
+def _cc_local(edges: DataFrame, rows=None) -> DataFrame:
     spark = edges.sparkSession
     parent: dict = {}
 
@@ -270,7 +273,7 @@ def _cc_local(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    pairs = [(r[0], r[1]) for r in edges.collect()]
+    pairs = [(r[0], r[1]) for r in (rows if rows is not None else edges.collect())]
     for a, b in pairs:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -290,10 +293,13 @@ def _cc_local(edges: DataFrame) -> DataFrame:
 
 
 def _cc_distributed(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    # e is re-joined every round — materialize once or the upstream
+    # verification chain re-executes per iteration
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # labels start as self
     nodes = e.select(F.col("u").alias("node")).distinct()
@@ -343,9 +349,10 @@ def canonicalize(
     blocks = lsh_blocks(sigs, n_bands, id_col, n_perms=n_perms)
     pairs, metrics = candidate_pairs(blocks, id_col, max_block)
     pairs = pairs.localCheckpoint(eager=True)
-    verified = verify_pairs_jaccard(
-        pairs, pages, threshold, id_col, text_col
-    ).localCheckpoint(eager=True)
+    # verified edges flow straight into connected_components' single
+    # take()/collect — they have exactly one consumer, so materializing
+    # them would only add a job
+    verified = verify_pairs_jaccard(pairs, pages, threshold, id_col, text_col)
     comps = connected_components(
         verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )

@@ -42,6 +42,32 @@ def test_multimodal_stub_and_plumbing(spark):
     assert rows[3]["byte_len"] is None
 
 
+def test_multimodal_resize_and_embed_plumbing(spark):
+    from kgforge.operators.multimodal import (
+        EMBED_DIM,
+        RESIZE_TARGET,
+        fake_dims,
+        mm_embed_batch,
+        mm_resize_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 10), (2, b"y" * 5000), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rz = {r["doc_id"]: r for r in mm_resize_batch(df).collect()}
+    for i, n in ((1, 10), (2, 5000), (3, 0)):
+        w, h = fake_dims(n)
+        assert (rz[i]["orig_w"], rz[i]["orig_h"]) == (w, h)
+        assert max(rz[i]["out_w"], rz[i]["out_h"]) <= RESIZE_TARGET
+        if max(w, h) <= RESIZE_TARGET:
+            assert (rz[i]["out_w"], rz[i]["out_h"]) == (w, h)
+
+    em = {r["doc_id"]: r["feat"] for r in mm_embed_batch(df).collect()}
+    assert all(len(v) == EMBED_DIM for v in em.values())
+    assert em[3] == [0.0] * EMBED_DIM  # None payload -> zero checksum vector
+
+
 def test_simhash_finds_known_neardups(spark, sf01):
     """SimHash guarantees: exact clones collide at hamming 0, and the
     fixture's ' dup' near-duplicates are recalled at a useful rate
