@@ -46,13 +46,21 @@ def main() -> int:
     ap.add_argument("--pages", type=int, default=100_000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism N (large is 4N)")
     ap.add_argument("--repeat", type=int, default=1, help="take best-of-k per level")
+    ap.add_argument(
+        "--fixture", default=None,
+        help="reuse an existing fixture dir (skips generation + cleanup)",
+    )
     args = ap.parse_args()
 
-    from kgforge.synth import write_fixture
+    if args.fixture:
+        fixture, own_fixture = args.fixture, False
+    else:
+        from kgforge.synth import write_fixture
 
-    fixture = tempfile.mkdtemp(prefix="kgf_scale_fix_")
-    print(f"generating {args.pages}-page fixture at {fixture} ...", file=sys.stderr)
-    write_fixture(fixture, n_pages=args.pages, seed=42)
+        fixture = tempfile.mkdtemp(prefix="kgf_scale_fix_")
+        own_fixture = True
+        print(f"generating {args.pages}-page fixture at {fixture} ...", file=sys.stderr)
+        write_fixture(fixture, n_pages=args.pages, seed=42)
 
     results = {}
     try:
@@ -65,7 +73,8 @@ def main() -> int:
             results[cpus] = best
             print(json.dumps(best), file=sys.stderr)
     finally:
-        shutil.rmtree(fixture, ignore_errors=True)
+        if own_fixture:
+            shutil.rmtree(fixture, ignore_errors=True)
 
     small, large = results[args.n], results[args.n * 4]
     assert small["n_triples"] == large["n_triples"], (

@@ -127,23 +127,49 @@ def candidate_pairs(
     """Pairs (a < b) of ids sharing an LSH block, hub blocks capped and
     counted. Returns (pairs, block_metrics).
 
-    Shape: ONE shuffle — groupBy block key collecting the member ids,
-    then the i<j pair expansion runs as nested array transforms inside
-    whole-stage codegen. The alternatives both anti-scaled when
-    measured: a within-block self-join shuffles the block table again
-    and pays sort-merge machinery per block, and a window-count
-    formulation buffers the whole exploded block table through
-    localCheckpoint (~GBs at 10^6 pages, worse with more cores).
-    Quadratic blow-up is bounded because blocks bigger than max_block
-    are dropped — and COUNTED in the metrics frame, no silent caps
-    (SURVEY.md §7.5)."""
-    g = blocks.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids"),
-        F.count(F.lit(1)).alias("n"),
+    Shape: ONE fixed-width hash aggregation does almost everything.
+    Near-dup LSH block-size distributions are extremely skewed toward
+    2 (measured at 800k pages: 21.5M singletons, 1.7M blocks of size
+    2, 1.5k blocks of 3-64, none bigger) — and for a size-2 block the
+    pair IS (min, max). So the first pass aggregates min/max/count per
+    block key: plain codegen'd UnsafeRow aggregation, no per-group
+    object state, no ObjectHashAggregate sort-fallback cliff (the
+    collect_list formulation fell back to sorting the whole 25M-row
+    exploded block table once groups-per-task crossed the threshold —
+    428s at local[2]). Only the RARE n>2 blocks take a second,
+    tiny-input pass that collects ids and expands i<j pairs in codegen.
+    Blocks bigger than max_block are dropped — and COUNTED in the
+    metrics frame, no silent caps (SURVEY.md §7.5)."""
+    g = (
+        blocks.groupBy("band", "band_hash")
+        .agg(
+            F.min(id_col).alias("mn"),
+            F.max(id_col).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # singleton blocks are ~93% of all blocks and interest nobody:
+        # drop them BEFORE materializing, so the checkpoint the three
+        # consumers below share holds ~1-2 rows per true near-dup pair,
+        # not one row per corpus page
+        .filter(F.col("n") >= 2)
+        .localCheckpoint(eager=True)
     )
-    ok = g.filter((F.col("n") >= 2) & (F.col("n") <= max_block))
-    pairs = (
-        ok.select(
+    pairs_2 = g.filter(F.col("n") == 2).select(
+        F.col("mn").alias("a"), F.col("mx").alias("b")
+    )
+    big_keys = g.filter((F.col("n") > 2) & (F.col("n") <= max_block)).select(
+        "band", "band_hash"
+    )
+    # rare path: restrict the block table to the few multi-member keys.
+    # Broadcast is forced: the key side is 12 bytes per n>2 block (1.5k
+    # rows at 800k pages), which turns this join map-only — the
+    # re-derived block explode never shuffles
+    big = blocks.join(F.broadcast(big_keys), ["band", "band_hash"])
+    gb = big.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    pairs_big = (
+        gb.select(
             F.explode(
                 F.flatten(
                     F.transform(
@@ -161,8 +187,8 @@ def candidate_pairs(
             ).alias("p")
         )
         .select("p.a", "p.b")
-        .distinct()
     )
+    pairs = pairs_2.union(pairs_big).distinct()
     metrics = g.filter(F.col("n") > max_block).select(
         F.lit("lsh_block_dropped").alias("metric"),
         F.col("band").cast("string").alias("key"),
@@ -338,28 +364,47 @@ def canonicalize(
 ) -> tuple[DataFrame, DataFrame]:
     """Full canonicalization: near-duplicate pages collapse to one
     canonical subject (min url in each component). Returns
-    (mapping(url, canon_url), metrics)."""
+    (mapping(url, canon_url), metrics).
+
+    The blocking stages shuffle 8-byte xxhash64 ids ("iid") instead of
+    ~50-byte url strings — 3-6x less exchange volume through the
+    dominant LSH shuffle (collision odds over 10^6 urls: ~1e-7; over
+    10^12: use a 128-bit id — same plumbing). Components are resolved
+    on iids, then two broadcast-sized joins translate back and pick the
+    MIN-URL representative per component, preserving the documented
+    canonical-id semantics exactly."""
+    iid = F.xxhash64(F.col(id_col)).alias("iid")
     pages = pages.cache()  # consumed twice: signatures + exact verification
     # checkpoint the SIGNATURES (|corpus| x 128 longs), not the exploded
     # block table (x n_bands bigger): everything downstream re-derives
     # from sigs with cheap column ops, and the minhash UDF never re-runs
-    sigs = minhash_signatures(pages, text_col, id_col, n_perms).localCheckpoint(
+    udf = make_minhash_udf(n_perms)
+    sigs = pages.select(iid, udf(F.col(text_col)).alias("sig")).localCheckpoint(
         eager=True
     )
-    blocks = lsh_blocks(sigs, n_bands, id_col, n_perms=n_perms)
-    pairs, metrics = candidate_pairs(blocks, id_col, max_block)
+    blocks = lsh_blocks(sigs, n_bands, "iid", n_perms=n_perms)
+    pairs, metrics = candidate_pairs(blocks, "iid", max_block)
     pairs = pairs.localCheckpoint(eager=True)
     # verified edges flow straight into connected_components' single
     # take()/collect — they have exactly one consumer, so materializing
     # them would only add a job
-    verified = verify_pairs_jaccard(pairs, pages, threshold, id_col, text_col)
+    pages_iid = pages.select(iid, F.col(id_col), F.col(text_col))
+    verified = verify_pairs_jaccard(pairs, pages_iid, threshold, "iid", text_col)
     comps = connected_components(
         verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
+    # translate component ids back to urls; representative = min url.
+    # node_urls and reps are O(pages in some near-dup component) — tiny
+    # relative to the corpus — so both joins broadcast
+    purl = pages.select(F.col(id_col).alias("url"), iid)
+    node_urls = purl.join(
+        F.broadcast(comps.withColumnRenamed("node", "iid")), "iid"
+    ).select("iid", "url", "comp")
+    reps = node_urls.groupBy("comp").agg(F.min("url").alias("canon_url"))
     mapping = (
-        pages.select(F.col(id_col).alias("url"))
-        .join(comps.withColumnRenamed("node", "url"), "url", "left")
-        .select("url", F.coalesce("comp", F.col("url")).alias("canon_url"))
+        purl.join(F.broadcast(node_urls.select("iid", "comp")), "iid", "left")
+        .join(F.broadcast(reps), "comp", "left")
+        .select("url", F.coalesce("canon_url", F.col("url")).alias("canon_url"))
     )
     return mapping, metrics
 
