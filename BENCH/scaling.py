@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import subprocess
 import sys
@@ -26,7 +27,13 @@ sys.path.insert(0, str(REPO))
 
 
 def run_level(cpus: int, fixture: str) -> dict:
-    out = tempfile.mkdtemp(prefix=f"kgf_scale_{cpus}_")
+    # stage outputs go to tmpfs when available: the bench box has ONE
+    # virtual disk shared by both parallelism levels, which would fold a
+    # fixed disk-bandwidth term into every stage write; a real cluster
+    # writes checkpoints to per-executor NVMe / object storage whose
+    # bandwidth scales with the fleet
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix=f"kgf_scale_{cpus}_", dir=base)
     try:
         proc = subprocess.run(
             [sys.executable, str(REPO / "BENCH" / "run_one.py"),

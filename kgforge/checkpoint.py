@@ -89,7 +89,10 @@ class CheckpointManager:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         out = self.spark.read.parquet(path)
-        rows = out.count()
+        # row count from parquet footers — metadata-only, no second full
+        # scan of the stage output (the Iceberg deployment reads this
+        # from snapshot manifests; same discipline here)
+        rows = _footer_row_count(path)
         wall = time.time() - t0
         with open(self._manifest_path(stage), "w") as f:
             json.dump(
@@ -113,6 +116,18 @@ class CheckpointManager:
                 with open(os.path.join(self.manifest_dir, fn)) as f:
                     out.append(json.load(f))
         return out
+
+
+def _footer_row_count(path: str) -> int:
+    """Exact row count of a parquet directory from file footers only."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
 
 
 def fingerprint_input(path: str) -> str:
