@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from kgforge.conf import LSH_BANDS, MAX_LSH_BLOCK, MINHASH_PERMS, NEAR_DUP_THRESHOLD
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -62,7 +64,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     )
 
 
-def make_minhash_udf(n_perms: int = 128, shingle_k: int = 3, seed: int = 42):
+def make_minhash_udf(n_perms: int = MINHASH_PERMS, shingle_k: int = 3, seed: int = 42):
     a, b = _perm_params(n_perms, seed)
     a_u = a.astype(np.uint64)
     b_u = b.astype(np.uint64)
@@ -87,14 +89,14 @@ def make_minhash_udf(n_perms: int = 128, shingle_k: int = 3, seed: int = 42):
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "url",
-    n_perms: int = 128, shingle_k: int = 3,
+    n_perms: int = MINHASH_PERMS, shingle_k: int = 3,
 ) -> DataFrame:
     udf = make_minhash_udf(n_perms, shingle_k)
     return df.select(id_col, udf(F.col(text_col)).alias("sig"))
 
 
 def lsh_blocks(
-    sigs: DataFrame, n_bands: int = 32, id_col: str = "url", n_perms: int = 128
+    sigs: DataFrame, n_bands: int = LSH_BANDS, id_col: str = "url", n_perms: int = MINHASH_PERMS
 ) -> DataFrame:
     """Explode each signature into (band, band_hash) block keys.
     n_perms is passed, not probed — probing would trigger a full extra
@@ -122,7 +124,7 @@ def lsh_blocks(
 
 
 def candidate_pairs(
-    blocks: DataFrame, id_col: str = "url", max_block: int = 2000
+    blocks: DataFrame, id_col: str = "url", max_block: int = MAX_LSH_BLOCK
 ) -> tuple[DataFrame, DataFrame]:
     """Pairs (a < b) of ids sharing an LSH block, hub blocks capped and
     counted. Returns (pairs, block_metrics).
@@ -357,10 +359,10 @@ def canonicalize(
     pages: DataFrame,
     id_col: str = "url",
     text_col: str = "text",
-    threshold: float = 0.8,
-    n_perms: int = 128,
-    n_bands: int = 32,
-    max_block: int = 2000,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    n_perms: int = MINHASH_PERMS,
+    n_bands: int = LSH_BANDS,
+    max_block: int = MAX_LSH_BLOCK,
 ) -> tuple[DataFrame, DataFrame]:
     """Full canonicalization: near-duplicate pages collapse to one
     canonical subject (min url in each component). Returns

@@ -37,10 +37,14 @@ OT = "OT"
 SALT_BUCKETS = 16
 MAX_LSH_BLOCK = 2000
 
-# MinHash parameters.
-MINHASH_PERMS = 64
-LSH_BANDS = 16  # 16 bands x 4 rows
-NEAR_DUP_THRESHOLD = 0.7
+# MinHash parameters — the single source of truth; canon.py, pipeline.py
+# and the dedup operators import these. 128 perms / 32 bands (4 rows per
+# band) puts the miss probability for a true pair at J>=0.8 at
+# (1-0.8^4)^32 ~ 5e-8, which is what lets the LSH path claim equality
+# with the exact-Jaccard oracle.
+MINHASH_PERMS = 128
+LSH_BANDS = 32
+NEAR_DUP_THRESHOLD = 0.8
 
 
 def spark_cpus() -> int:

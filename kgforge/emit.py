@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgforge.conf import NI
+from kgforge.link import attach_qualifiers
 
 TRIPLE_COLS = [
     "triple_id",
@@ -38,9 +39,21 @@ def emit_entity_triples(candidates: DataFrame, mapping: DataFrame) -> DataFrame:
 
     The demographic-emitter analog (Oracle/PCORNetLoader_ora.sql:1103-1246):
     the 7-way mapped/not-mapped UNION collapses into coalesce/when chains.
+
+    Accepts plain candidates or the attach_qualifiers output; when the
+    page-level qualifier columns are present, an entity assertion with no
+    value of its own inherits the page's numeric context (q_max_value) —
+    the modifier re-attach semantics of Oracle/PCORNetLoader_ora.sql:2202-2243.
     """
-    c = candidates.join(mapping, "url", "left").withColumn(
-        "subj", F.coalesce("canon_url", F.col("url"))
+    page_q = (
+        F.col("q_max_value")
+        if "q_max_value" in candidates.columns
+        else F.lit(None).cast("double")
+    )
+    c = (
+        candidates.filter(F.col("kind") == "entity")
+        .join(mapping, "url", "left")
+        .withColumn("subj", F.coalesce("canon_url", F.col("url")))
     )
     return c.select(
         F.xxhash64(
@@ -50,6 +63,36 @@ def emit_entity_triples(candidates: DataFrame, mapping: DataFrame) -> DataFrame:
         F.coalesce("pred", F.lit("hasConcept")).alias("pred"),
         F.coalesce("canonical_id", F.lit(NI)).alias("obj"),
         F.coalesce("kind", F.lit(NI)).alias("qual_kind"),
+        F.coalesce("value_text", F.lit(NI)).alias("qual_comparator"),
+        F.coalesce(F.col("value_num"), page_q).alias("qual_value_num"),
+        F.lit(None).cast("string").alias("qual_lang"),
+        F.col("surface").alias("raw_surface"),
+        F.col("url").alias("src_url"),
+        F.col("warc_ts").alias("src_ts"),
+    )
+
+
+def emit_measurement_triples(candidates: DataFrame, mapping: DataFrame) -> DataFrame:
+    """hasMeasurement triples: numeric observations become first-class
+    assertions with the value and comparator as qualifiers — the
+    pmnVITAL/pmnLAB analog (Oracle/PCORNetLoader_ora.sql:1644-1660,
+    :1901-1929). qual_value_num carries nval_num (already NULLed by the
+    value-domain guard when > 1e7, :1687,:1914); qual_comparator carries
+    the tval_char code (E/NE/L/LE/G/GE, :1915), NI when absent."""
+    c = (
+        candidates.filter(F.col("kind") == "numeric")
+        .join(mapping, "url", "left")
+        .withColumn("subj", F.coalesce("canon_url", F.col("url")))
+    )
+    return c.select(
+        F.xxhash64(
+            F.col("subj"), F.col("pred"), F.col("canonical_id"), F.col("url"),
+            F.col("mention_id"),
+        ).alias("triple_id"),
+        "subj",
+        F.col("pred"),
+        F.col("canonical_id").alias("obj"),
+        F.lit("numeric").alias("qual_kind"),
         F.coalesce("value_text", F.lit(NI)).alias("qual_comparator"),
         F.col("value_num").alias("qual_value_num"),
         F.lit(None).cast("string").alias("qual_lang"),
@@ -108,9 +151,14 @@ def all_triples(
 ) -> DataFrame:
     """Union of all emitters in dependency order (the pcornetloader DAG,
     Oracle/PCORNetLoader_ora.sql:2600-2618): page triples (encounter
-    analog) first, then entity triples, then sameAs links."""
+    analog) first, then entity triples (qualified by the page's numeric
+    context via attach_qualifiers — one broadcast join, the 6-stacked-
+    left-joins-to-pivot rewrite), then measurement triples (the
+    vital/lab analog), then sameAs links."""
+    qualified = attach_qualifiers(candidates)
     return (
         emit_page_triples(pages, mapping)
-        .unionByName(emit_entity_triples(candidates, mapping))
+        .unionByName(emit_entity_triples(qualified, mapping))
+        .unionByName(emit_measurement_triples(candidates, mapping))
         .unionByName(emit_sameas_triples(mapping))
     )

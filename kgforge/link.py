@@ -63,7 +63,7 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "is_leaf")
     )
-    return mentions.join(F.broadcast(winners), "surface", "inner").select(
+    out_cols = [
         "url",
         "warc_ts",
         "mention_id",
@@ -75,7 +75,31 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         "canonical_id",
         "pred",
         "score",
+    ]
+    entity_cands = (
+        mentions.filter(F.col("kind") == "entity")
+        .join(F.broadcast(winners), "surface", "inner")
+        .select(*out_cols)
     )
+    # Numeric observations link by construction, not by dictionary alias:
+    # the metric NAME is the concept (the pmnVITAL/pmnLAB analog,
+    # Oracle/PCORNetLoader_ora.sql:1644-1660, :1901-1929). valtype_cd='N'
+    # rows carry their value/comparator through to the measurement
+    # emitter rather than being dropped by the alias join.
+    numeric_cands = mentions.filter(F.col("kind") == "numeric").select(
+        "url",
+        "warc_ts",
+        "mention_id",
+        "surface",
+        "kind",
+        "value_num",
+        "value_text",
+        F.lit(None).cast("string").alias("concept_path"),
+        F.concat(F.lit("METRIC:"), F.upper("surface")).alias("canonical_id"),
+        F.lit("hasMeasurement").alias("pred"),
+        F.lit(1.0).alias("score"),
+    )
+    return entity_cands.unionByName(numeric_cands)
 
 
 def attach_qualifiers(candidates: DataFrame) -> DataFrame:

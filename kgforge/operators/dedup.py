@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from kgforge.sources import read_table
 from kgforge import canon as C
+from kgforge.conf import LSH_BANDS, MAX_LSH_BLOCK, MINHASH_PERMS
 
 SHINGLE_K = 3
 JACCARD_T = 0.8
@@ -148,9 +149,9 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, "documents", sf_dir)
         .select(F.col("doc_id").alias("url"), "text")
     )
-    sigs = C.minhash_signatures(docs, "text", "url", n_perms=128)
-    blocks = C.lsh_blocks(sigs, n_bands=32, id_col="url")
-    pairs, _metrics = C.candidate_pairs(blocks, id_col="url", max_block=2000)
+    sigs = C.minhash_signatures(docs, "text", "url", n_perms=MINHASH_PERMS)
+    blocks = C.lsh_blocks(sigs, n_bands=LSH_BANDS, id_col="url")
+    pairs, _metrics = C.candidate_pairs(blocks, id_col="url", max_block=MAX_LSH_BLOCK)
     verified = C.verify_pairs_jaccard(pairs, docs, JACCARD_T, "url", "text")
     return (
         verified.select(

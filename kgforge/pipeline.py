@@ -27,13 +27,12 @@ from kgforge import canon as C
 from kgforge import emit as E
 from kgforge import ontology as O
 from kgforge.checkpoint import CheckpointManager, fingerprint_input
+from kgforge.conf import NEAR_DUP_THRESHOLD
 from kgforge.extract import extract_pages
 from kgforge.mentions import detect_mentions
-from kgforge.link import link_mentions
+from kgforge.link import attach_qualifiers, link_mentions
 from kgforge.metrics import triple_report, write_metrics
-from kgforge.sources import pages_from_documents
-
-NEAR_DUP_THRESHOLD = 0.8
+from kgforge.sources import HTML_PREFIX, HTML_SUFFIX, pages_from_documents, read_table
 
 
 # ---------------------------------------------------------------------------
@@ -52,14 +51,23 @@ def run_pipeline(
     """Full checkpointed run. Re-submission with the same inputs skips
     finished stages (resume semantics, SURVEY.md §7.6)."""
     cp = CheckpointManager(spark, out_dir, run_id)
-    fp = fingerprint_input(pages_path)
+    # Every CLI-settable input participates in stage invalidation:
+    # re-running into the same --out with a different dictionary, lang
+    # filter, or threshold must NOT silently reuse stale stage outputs —
+    # that would break the 'identical triple set on resume' contract.
+    fp_pages = fingerprint_input(pages_path)
+    fp_dict = fingerprint_input(dict_path)
+    fp_extract = f"{fp_pages}|langs={','.join(langs) if langs else '*'}"
+    fp_mentions = f"{fp_extract}|dict={fp_dict}"
+    fp_canon = f"{fp_extract}|thr={threshold}"
+    fp_triples = f"{fp_mentions}|thr={threshold}"
 
     # scan splits come from spark.sql.files.maxPartitionBytes (8MB in
     # kgforge.conf) — no repartition shuffle; the parquet scan itself
     # fans out to every core
     pages = spark.read.parquet(pages_path)
     extracted = cp.run_stage(
-        "extracted", lambda: extract_pages(pages, langs), fp
+        "extracted", lambda: extract_pages(pages, langs), fp_extract
     )
 
     dic = O.propagate_hierarchy(
@@ -71,15 +79,15 @@ def run_pipeline(
     ]
 
     mentions = cp.run_stage(
-        "mentions", lambda: detect_mentions(extracted, aliases), fp
+        "mentions", lambda: detect_mentions(extracted, aliases), fp_mentions
     )
     candidates = cp.run_stage(
-        "candidates", lambda: link_mentions(mentions, dic), fp
+        "candidates", lambda: link_mentions(mentions, dic), fp_mentions
     )
     mapping = cp.run_stage(
         "canon_mapping",
         lambda: C.canonicalize(extracted, threshold=threshold)[0],
-        fp,
+        fp_canon,
     )
     triples = cp.run_stage(
         "triples",
@@ -91,7 +99,7 @@ def run_pipeline(
         # deployment the sink's write.distribution-mode does this
         # clustering inside the same write.
         lambda: E.all_triples(extracted, candidates, mapping).distinct(),
-        fp,
+        fp_triples,
         partition_by=["pred"],
     )
     report = triple_report(triples)
@@ -159,14 +167,17 @@ def inline_dictionary(spark: SparkSession) -> DataFrame:
     )
 
 
-_DICT_CACHE: dict[int, DataFrame] = {}
+_DICT_CACHE: dict[str, DataFrame] = {}
 
 
 def prepared_dictionary(spark: SparkSession) -> DataFrame:
     """clean -> propagate on the dirty inline dictionary (the linker's
     own window rank + regex filter handle dedup/disambiguation).
-    Memoized per session — the dictionary is static metadata."""
-    key = id(spark)
+    Memoized per session — the dictionary is static metadata. Keyed by
+    applicationId (unique per session), not id(spark): CPython reuses
+    object ids after GC, which could hand a new session a cached
+    DataFrame bound to a dead one."""
+    key = spark.sparkContext.applicationId
     if key not in _DICT_CACHE:
         _DICT_CACHE[key] = O.propagate_hierarchy(
             O.clean_dictionary(inline_dictionary(spark))
@@ -185,8 +196,72 @@ def _linker_aliases(spark: SparkSession) -> list[str]:
     )
 
 
+# Shared stage results for the kg_* family, keyed per (session, sf_dir).
+# The driver runs every registered query in ONE session; without sharing,
+# each kg_* query re-runs Arrow-UDF extraction (and kg_report re-executes
+# all of kg_triples) — redundancy that cost the flagship its CORRECTNESS
+# rows in round 1 when the driver's budget ran out. The cache holds five
+# small DataFrames per sf_dir; entries die with the session's
+# applicationId.
+_KG_STAGE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _kg_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KG_STAGE_CACHE:
+        _KG_STAGE_CACHE[key] = {}
+    return _KG_STAGE_CACHE[key]
+
+
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_pages(pages_from_documents(spark, sf_dir), langs=("en",))
+    st = _kg_stages(spark, sf_dir)
+    if "extracted" not in st:
+        st["extracted"] = extract_pages(
+            pages_from_documents(spark, sf_dir), langs=("en",)
+        ).cache()
+    return st["extracted"]
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _kg_stages(spark, sf_dir)
+    if "mentions" not in st:
+        st["mentions"] = detect_mentions(
+            _extracted(spark, sf_dir), _linker_aliases(spark)
+        ).cache()
+    return st["mentions"]
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _kg_stages(spark, sf_dir)
+    if "candidates" not in st:
+        st["candidates"] = link_mentions(
+            _mentions(spark, sf_dir), prepared_dictionary(spark)
+        ).cache()
+    return st["candidates"]
+
+
+def _mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _kg_stages(spark, sf_dir)
+    if "mapping" not in st:
+        mapping, _metrics = C.canonicalize(
+            _extracted(spark, sf_dir), threshold=NEAR_DUP_THRESHOLD
+        )
+        st["mapping"] = mapping.cache()
+    return st["mapping"]
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _kg_stages(spark, sf_dir)
+    if "triples" not in st:
+        t = E.all_triples(
+            _extracted(spark, sf_dir),
+            _candidates(spark, sf_dir),
+            _mapping(spark, sf_dir),
+        )
+        st["triples"] = (
+            t.select("subj", "pred", "obj", "src_url").distinct().cache()
+        )
+    return st["triples"]
 
 
 def kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +277,7 @@ def kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = detect_mentions(_extracted(spark, sf_dir), _linker_aliases(spark))
+    m = _mentions(spark, sf_dir)
     return (
         m.groupBy("url", "surface")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
@@ -211,8 +286,7 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_link(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = detect_mentions(_extracted(spark, sf_dir), _linker_aliases(spark))
-    c = link_mentions(m, prepared_dictionary(spark))
+    c = _candidates(spark, sf_dir)
     return (
         c.groupBy(
             "url",
@@ -228,29 +302,103 @@ def kg_link(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mapping, _metrics = C.canonicalize(
-        _extracted(spark, sf_dir), threshold=NEAR_DUP_THRESHOLD
-    )
-    return mapping.orderBy("url")
+    return _mapping(spark, sf_dir).orderBy("url")
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: the full pipeline, projected to the assertion set.
-    Extraction is cached — three consumers (mentions, canonicalization,
-    page emitters) would otherwise re-run the Arrow UDF over the corpus."""
-    ext = _extracted(spark, sf_dir).cache()
-    m = detect_mentions(ext, _linker_aliases(spark))
-    cand = link_mentions(m, prepared_dictionary(spark))
-    mapping, _ = C.canonicalize(ext, threshold=NEAR_DUP_THRESHOLD)
-    t = E.all_triples(ext, cand, mapping)
-    return t.select("subj", "pred", "obj", "src_url").distinct().orderBy(
-        "subj", "pred", "obj", "src_url"
+    """Flagship: the full pipeline, projected to the assertion set. All
+    stages come from the per-session cache — extraction runs its Arrow
+    UDF once for the whole kg_* family."""
+    return _triples(spark, sf_dir).orderBy("subj", "pred", "obj", "src_url")
+
+
+def pages_with_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages with deterministic numeric observations
+    appended to the text (the synthetic documents carry none), so the
+    measurement path — regex detection, comparator mapping, value-domain
+    guard, hasMeasurement emission — is exercised end-to-end through the
+    REAL html-extraction pipeline and still has an exact DuckDB oracle:
+
+      doc_id % 3 == 0  ->  " metric:load=<doc_id % 97>"        (cmp E)
+      doc_id % 3 == 1  ->  " metric:temp>=<doc_id % 41>.5"     (cmp GE)
+      doc_id % 17 == 0 ->  " metric:spike=99999999"  (value-domain guard
+                            suppresses the number: > 1e7 -> NULL,
+                            Oracle/PCORNetLoader_ora.sql:1687,:1914)
+    """
+    d = read_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 3 == 0, F.concat(F.lit(" metric:load="), (did % 97).cast("string")))
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit(" metric:temp>="), (did % 41).cast("string"), F.lit(".5")),
+        )
+        .otherwise(F.lit(""))
+    )
+    spike = F.when(did % 17 == 0, F.lit(" metric:spike=99999999")).otherwise(F.lit(""))
+    text2 = F.concat(F.col("text"), suffix, spike)
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            did.cast("string"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2023-01-01 00:00:00"))
+            + F.make_interval(secs=(did % 31536000).cast("double"))
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(HTML_PREFIX), text2, F.lit(HTML_SUFFIX)), "UTF-8"
+        ).alias("html"),
+        text2.alias("text"),
+        F.col("lang"),
+    )
+
+
+def _measure_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared extract->detect->link over the measurement-bearing pages."""
+    st = _kg_stages(spark, sf_dir)
+    if "meas_candidates" not in st:
+        ext = extract_pages(pages_with_measurements(spark, sf_dir), langs=("en",))
+        m = detect_mentions(ext, _linker_aliases(spark))
+        st["meas_candidates"] = link_mentions(m, prepared_dictionary(spark)).cache()
+    return st["meas_candidates"]
+
+
+def kg_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric observations as first-class hasMeasurement triples with
+    value + comparator qualifiers (pmnVITAL/pmnLAB analog,
+    Oracle/PCORNetLoader_ora.sql:1644-1660, :1901-1929). Identity
+    mapping keeps the oracle purely relational — canonicalization has
+    its own query (kg_canon)."""
+    cand = _measure_candidates(spark, sf_dir)
+    ident = cand.select("url").distinct().select(
+        "url", F.col("url").alias("canon_url")
+    )
+    t = E.emit_measurement_triples(cand, ident)
+    return t.select(
+        "subj", "pred", "obj", "qual_comparator", "qual_value_num", "src_url"
+    ).orderBy("subj", "obj")
+
+
+def kg_qualifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attach_qualifiers evidence: each page's numeric observations
+    pivoted wide and re-attached to its entity candidates in ONE join —
+    the rewrite of the reference's six stacked left self-joins on a
+    6-col composite key (Oracle/PCORNetLoader_ora.sql:2202-2243)."""
+    q = attach_qualifiers(_measure_candidates(spark, sf_dir))
+    return (
+        q.groupBy(
+            "url", "canonical_id", "q_max_value", "q_min_value", "q_n_numeric"
+        )
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("url", "canonical_id")
     )
 
 
 def kg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i2pReport analog over the emitted triple set."""
-    t = kg_triples(spark, sf_dir)
+    """i2pReport analog over the emitted triple set — aggregates the
+    CACHED triple set instead of re-executing the pipeline plan."""
+    t = _triples(spark, sf_dir)
     return (
         t.groupBy("pred")
         .agg(
@@ -371,6 +519,51 @@ SELECT DISTINCT * FROM (
 ) ORDER BY subj, pred, obj, src_url
 """
 
+# Relational recomputation of the deterministic measurement suffixes of
+# pages_with_measurements (url shape matches _SQL_PAGES).
+_SQL_MEAS = """
+mpages AS (
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, text, lang
+  FROM documents
+),
+men AS (SELECT * FROM mpages WHERE lang = 'en'),
+meas AS (
+  SELECT url, 'METRIC:LOAD' AS obj, 'E' AS cmp,
+         CAST(doc_id % 97 AS DOUBLE) AS value_num
+  FROM men WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT url, 'METRIC:TEMP', 'GE', CAST(doc_id % 41 AS DOUBLE) + 0.5
+  FROM men WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT url, 'METRIC:SPIKE', 'E', CAST(NULL AS DOUBLE)
+  FROM men WHERE doc_id % 17 = 0
+)
+"""
+
+ORACLE_KG_MEASUREMENTS = f"""
+WITH {_SQL_MEAS}
+SELECT url AS subj, 'hasMeasurement' AS pred, obj,
+       cmp AS qual_comparator, value_num AS qual_value_num, url AS src_url
+FROM meas ORDER BY subj, obj
+"""
+
+# Entity mentions are unaffected by the appended suffix tokens (none of
+# "metric:..=.." word-splits to a dictionary alias), so the mention CTE
+# over the BASE text is exact for the measurement-bearing pages too.
+ORACLE_KG_QUALIFIERS = f"""
+WITH {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_MEAS},
+nums AS (
+  SELECT url, MAX(value_num) AS q_max_value, MIN(value_num) AS q_min_value,
+         COUNT(*) AS q_n_numeric
+  FROM meas GROUP BY url
+)
+SELECT m.url, d.canonical_id, n.q_max_value, n.q_min_value, n.q_n_numeric,
+       COUNT(*) AS n_mentions
+FROM mentions m JOIN dict d USING (surface) LEFT JOIN nums n USING (url)
+GROUP BY ALL ORDER BY m.url, d.canonical_id
+"""
+
 ORACLE_KG_REPORT = f"""
 WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON},
 triples AS (
@@ -395,6 +588,8 @@ QUERIES = {
     "kg_link": kg_link,
     "kg_canon": kg_canon,
     "kg_triples": kg_triples,
+    "kg_measurements": kg_measurements,
+    "kg_qualifiers": kg_qualifiers,
     "kg_report": kg_report,
 }
 
@@ -404,5 +599,7 @@ ORACLES = {
     "kg_link": ORACLE_KG_LINK,
     "kg_canon": ORACLE_KG_CANON,
     "kg_triples": ORACLE_KG_TRIPLES,
+    "kg_measurements": ORACLE_KG_MEASUREMENTS,
+    "kg_qualifiers": ORACLE_KG_QUALIFIERS,
     "kg_report": ORACLE_KG_REPORT,
 }

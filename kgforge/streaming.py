@@ -77,10 +77,18 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and mean session length in events."""
     ev = read_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # gap arithmetic in MICROSECONDS: events carry sub-second timestamps,
+    # and cast-to-long truncates in Spark while EPOCH()::BIGINT rounds in
+    # DuckDB — a gap straddling 1800s at a fractional second would flip a
+    # session boundary between engines. unix_micros is exact on both.
+    # (cast: the parquet column is TIMESTAMP_NTZ; session TZ is UTC, so
+    # NTZ->TIMESTAMP is value-preserving and unix_micros resolves)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gaps = ev.withColumn(
         "new_session",
-        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0).cast("int"),
+        F.when(epoch_us - F.lag(epoch_us).over(w) > 1_800_000_000, 1)
+        .otherwise(0)
+        .cast("int"),
     )
     sess = gaps.withColumn(
         "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -88,8 +96,8 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sess.groupBy("user_id")
         .agg(
-            (F.max("session_id") + 1).alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
+            (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
         )
         .orderBy("user_id")
     )
@@ -98,8 +106,8 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ST_SESSIONIZE = """
 WITH gaps AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN EPOCH(ts)::BIGINT - LAG(EPOCH(ts)::BIGINT)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
@@ -109,7 +117,8 @@ sess AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps
 )
-SELECT user_id, MAX(session_id) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -118,9 +127,14 @@ def run_stream_parity(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     """Drive the windowed agg through Structured Streaming (readStream on
     the events parquet, watermark, memory sink, processAllAvailable) and
     return (stream_rows, batch_rows) for equality assertion."""
+    # read the events table specifically — pointing readStream at the
+    # whole sf dir unfiltered would silently ingest every sibling table
+    # under the events schema as mostly-null rows. The file source wants
+    # a directory, so filter by file name.
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     agg = _windowed_agg(stream.withWatermark("ts", "1 hour"))
     q = (

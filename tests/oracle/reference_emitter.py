@@ -159,7 +159,13 @@ def emit_triples(
         if subj != r.url:
             triples.add((r.url, "sameAs", subj, r.url))
         for m in find_mentions(r.text, set(alias_to)):
-            if m["kind"] != "entity":
+            if m["kind"] == "numeric":
+                # measurement assertions: metric name is the concept
+                # (pmnVITAL/pmnLAB analog); value/comparator live in the
+                # qualifier columns, outside the 4-tuple identity
+                triples.add(
+                    (subj, "hasMeasurement", "METRIC:" + m["surface"].upper(), r.url)
+                )
                 continue
             cid, pred = alias_to[m["surface"]]
             triples.add((subj, pred, cid, r.url))

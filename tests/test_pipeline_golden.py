@@ -147,6 +147,28 @@ def test_input_change_invalidates_checkpoints(spark, fixture_dir, tmp_path_facto
     assert not any(s["skipped"] for s in info["stages"])
 
 
+def test_measurement_triples_end_to_end(spark, run_out):
+    """Numeric observations surface as first-class hasMeasurement triples
+    (pmnVITAL/pmnLAB analog, Oracle/PCORNetLoader_ora.sql:1644-1660,
+    :1901-1929): comparator codes mapped (tval_char E/NE/L/LE/G/GE
+    analog, :1915), values carried, and the value-domain guard (:1687)
+    nulls outliers > 1e7 instead of dropping the assertion."""
+    out, _ = run_out
+    rows = (
+        spark.read.parquet(f"{out}/triples")
+        .filter(F.col("pred") == "hasMeasurement")
+        .collect()
+    )
+    assert rows, "synthetic fixture plants metric:temp observations"
+    for r in rows:
+        assert r["obj"] == "METRIC:TEMP"
+        assert r["qual_kind"] == "numeric"
+        assert r["qual_comparator"] in {"E", "NE", "L", "LE", "G", "GE"}
+    vals = [r["qual_value_num"] for r in rows]
+    assert any(v is None for v in vals), "outlier values must be suppressed"
+    assert any(v is not None and 0.0 <= v <= 100.0 for v in vals)
+
+
 def test_triples_partitioned_by_pred(run_out):
     out, _ = run_out
     subdirs = [d for d in os.listdir(f"{out}/triples") if d.startswith("pred=")]
