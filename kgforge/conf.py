@@ -31,6 +31,13 @@ NI = "NI"
 UN = "UN"
 OT = "OT"
 
+# Unit-conversion constants — the analog of the reference's unit_ht()
+# (cm -> inch, x0.393701) and unit_wt() (kg -> lb, x2.20462) scalar
+# functions (Oracle/PCORNetLoader_ora.sql:32-45, applied :1651-1652).
+# Config-driven lit() multiplication; no UDF needed (SURVEY.md §2.7).
+UNIT_HT = 0.393701
+UNIT_WT = 2.20462
+
 # Skew handling (SURVEY.md §7.5): number of salts for hub-entity
 # aggregations, and the LSH block-size cap (blocks larger than this are
 # split and counted in metrics — no silent caps).

@@ -167,18 +167,10 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DD_MINHASH_LSH = ORACLE_DD_NGRAM_JACCARD
 
 
-def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signature by per-token hash
-    bit-voting (all JVM-side: xxhash64 + bit arithmetic), blocked on
-    16-bit bands, ranked by hamming distance via bit_count(xor).
-
-    No SQL oracle: simhash is an approximate signature whose candidate
-    set has no exact relational equivalent (driver records rows-only;
-    exact-clone recall is pytest-asserted against known fixtures).
-    """
-    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
-    # term-frequency-weighted voting (Charikar simhash): counts make the
-    # signature doc-specific even when token *sets* coincide
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit Charikar simhash per doc: per-token hash bit-voting with
+    term-frequency weights — all JVM-side (xxhash64 + bit arithmetic),
+    no Python in the plan. Returns (doc_id, simhash)."""
     tokens = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -199,7 +191,24 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, i)
         sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
-    sh = sigs.select("doc_id", sig_expr.alias("simhash"))
+    return sigs.select("doc_id", sig_expr.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, hamming_max: int = 12, max_chunk: int = MAX_LSH_BLOCK
+) -> tuple[DataFrame, DataFrame]:
+    """SimHash near-dup candidates, hub chunks capped AND counted.
+    Returns (pairs(a, b, hamming), metrics).
+
+    Blocking is 4x16-bit chunk equality: near-dups (hamming <= 12 over
+    64 bits) agree on >= 1 chunk by pigeonhole when the flips spread, and
+    w.h.p. otherwise. A 16-bit chunk value collects ~N/65536 docs at
+    corpus scale — the band self-join over such a hub block is
+    quadratic, so chunks bigger than max_chunk are DROPPED and COUNTED
+    (same no-silent-caps discipline as canon.candidate_pairs,
+    SURVEY.md §7.5). The keep-key set is bounded by construction
+    (<= 4 * 65536 rows), so the restriction join broadcasts."""
+    sh = simhash_signatures(docs)
     # band on 4x16-bit chunks: near-dups agree on >=1 chunk w.h.p.
     bands = sh.select(
         "doc_id",
@@ -218,9 +227,19 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
-    L = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "band", "chunk")
-    R = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "band", "chunk")
-    return (
+    sizes = bands.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("n"))
+    keep = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_chunk)).select(
+        "band", "chunk"
+    )
+    metrics = sizes.filter(F.col("n") > max_chunk).select(
+        F.lit("simhash_chunk_dropped").alias("metric"),
+        F.concat_ws(":", F.col("band").cast("string"), F.col("chunk").cast("string")).alias("key"),
+        F.col("n").alias("value"),
+    )
+    b_ok = bands.join(F.broadcast(keep), ["band", "chunk"])
+    L = b_ok.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "band", "chunk")
+    R = b_ok.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "band", "chunk")
+    pairs = (
         L.join(R, ["band", "chunk"])
         .filter(F.col("a") < F.col("b"))
         .select(
@@ -229,9 +248,21 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 12)
-        .orderBy("a", "b")
+        .filter(F.col("hamming") <= hamming_max)
     )
+    return pairs, metrics
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable simhash near-dup candidates.
+
+    No SQL oracle: simhash is an approximate signature whose candidate
+    set has no exact relational equivalent (driver records rows-only;
+    exact-clone recall and the hub-chunk cap are pytest-asserted).
+    """
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    pairs, _metrics = simhash_pairs(docs)
+    return pairs.orderBy("a", "b")
 
 
 QUERIES = {

@@ -894,8 +894,68 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-conversion constant multiply — the unit_ht()/unit_wt()
+    scalar functions (Oracle/PCORNetLoader_ora.sql:32-45, applied to
+    vitals at :1651-1652) as config-driven lit() factors: quantities
+    re-expressed in pounds (x2.20462) and sizes in inches (x0.393701).
+    No UDF; pure codegen arithmetic."""
+    from kgforge.conf import UNIT_HT, UNIT_WT
+
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_orderkey") <= 640)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.round(F.col("l_quantity") * F.lit(UNIT_WT), 6).alias("qty_lb"),
+            F.round(F.col("l_quantity") * F.lit(UNIT_HT), 6).alias("qty_in"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_UNIT_CONVERT = """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,
+       ROUND(l_quantity * 2.20462, 6) AS qty_lb,
+       ROUND(l_quantity * 0.393701, 6) AS qty_in
+FROM lineitem WHERE l_orderkey <= 640
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_format_lpad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric truncation / zero-padded code formatting — the to_char
+    50-char cap (Oracle/PCORNetLoader_ora.sql:1929) and the
+    leading-zero harvest codes (:1979): numbers rendered as strings,
+    capped with substring, and lpad'ed into fixed-width codes."""
+    o = read_table(spark, "orders", sf_dir)
+    return (
+        o.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.substring(F.col("o_orderkey").cast("string"), 1, 3).alias("key_trunc"),
+            F.lpad(F.col("o_custkey").cast("string"), 9, "0").alias("cust_code"),
+            F.substring(F.col("o_orderpriority"), 3, 9).alias("prio_code"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_FORMAT_LPAD = """
+SELECT o_orderkey,
+       substring(CAST(o_orderkey AS VARCHAR), 1, 3) AS key_trunc,
+       lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS cust_code,
+       substring(o_orderpriority, 3, 9) AS prio_code
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "rel_rollup": q_rollup,
+    "rel_unit_convert": q_unit_convert,
+    "rel_format_lpad": q_format_lpad,
     "rel_union_all": q_union_all,
     "rel_except": q_except,
     "rel_intersect": q_intersect,
@@ -929,6 +989,8 @@ QUERIES = {
 
 ORACLES = {
     "rel_rollup": ORACLE_ROLLUP,
+    "rel_unit_convert": ORACLE_UNIT_CONVERT,
+    "rel_format_lpad": ORACLE_FORMAT_LPAD,
     "rel_union_all": ORACLE_UNION_ALL,
     "rel_except": ORACLE_EXCEPT,
     "rel_intersect": ORACLE_INTERSECT,
