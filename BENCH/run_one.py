@@ -32,7 +32,16 @@ def main() -> int:
     from kgforge.conf import get_spark
     from kgforge.pipeline import run_pipeline
 
-    spark = get_spark(f"kgf-scale-{args.cpus}", cpus=args.cpus, shuffle_partitions=args.cpus)
+    # shuffle partitions scale WITH the level (the protocol's "same conf
+    # scaled 4x") but at 4 waves per core, not 1: with partitions ==
+    # cores, a 2-core run funnels the whole 21M-row distinct into 2
+    # hash-aggregation partitions whose state exceeds memory and spills
+    # (measured: triples stage 406s at local[2]/800k vs ~150s expected).
+    # A real N-core cluster sizes shuffle.partitions at a small multiple
+    # of total slots for exactly this reason; AQE coalesces the excess.
+    spark = get_spark(
+        f"kgf-scale-{args.cpus}", cpus=args.cpus, shuffle_partitions=4 * args.cpus
+    )
     # warm outside the measured region (steady-state throughput,
     # SURVEY.md §7.4.5): OS page cache for the input, and one trivial
     # pandas-UDF job so every python worker is spawned with

@@ -33,12 +33,14 @@ HEADLINE = [
     "dd_minhash_lsh",
     "dd_simhash",
     "sim_topk_bruteforce",
+    "sim_neardup_cosine",
     "tx_quality",
     "tx_fingerprint",
     "mm_meta",
     "st_tumbling_agg",
     "kg_extract",
     "kg_mentions",
+    "kg_measurements",
     "kg_triples",
 ]
 
@@ -83,7 +85,25 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "kg_triples_count": n_triples,
-        "kg_triples_per_sec": round(n_triples / timings["kg_triples"], 1)
+        # the kg_* family shares one cached stage chain per session, so
+        # the honest pipeline denominator is the sum of the kg timings
+        # (extract pays the Arrow UDF, mentions pays detection, triples
+        # pays link+canon+emit) — not kg_triples alone
+        "kg_pipeline_wall": round(
+            timings.get("kg_extract", 0.0)
+            + timings.get("kg_mentions", 0.0)
+            + timings.get("kg_triples", 0.0),
+            3,
+        ),
+        "kg_triples_per_sec": round(
+            n_triples
+            / (
+                timings.get("kg_extract", 0.0)
+                + timings.get("kg_mentions", 0.0)
+                + timings.get("kg_triples", 0.0)
+            ),
+            1,
+        )
         if timings.get("kg_triples")
         else None,
     }

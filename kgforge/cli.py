@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--threshold", type=float, default=0.8)
     runp.add_argument("--run-id", default="run")
     runp.add_argument("--cpus", type=int, default=None)
+    runp.add_argument(
+        "--publish",
+        default=None,
+        help="publish the final triples: an Iceberg table identifier "
+        "(cat.db.triples; used when the catalog jars are present) or a "
+        "directory path (parquet partitioned by pred)",
+    )
 
     synthp = sub.add_parser("synth", help="generate a synthetic fixture")
     synthp.add_argument("--out", required=True)
@@ -57,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
             run_id=args.run_id,
         )
+        if args.publish:
+            from kgforge.sources import write_triples
+
+            triples = spark.read.parquet(f"{args.out}/triples")
+            info["published"] = write_triples(triples, args.publish)
+            info["publish_target"] = args.publish
         print(json.dumps(info))
         return 0
 

@@ -50,6 +50,11 @@ def emit_entity_triples(candidates: DataFrame, mapping: DataFrame) -> DataFrame:
         if "q_max_value" in candidates.columns
         else F.lit(None).cast("double")
     )
+    # (Measured dead end, kept as a note: deduping candidates here on
+    # (url, canonical_id, pred, surface) before the union ADDS a full
+    # shuffle of the candidate stream on top of the downstream distinct
+    # — triples-stage wall doubled at 400k pages. The union-level
+    # distinct already dedupes in one exchange.)
     c = (
         candidates.filter(F.col("kind") == "entity")
         .join(mapping, "url", "left")
@@ -154,11 +159,20 @@ def all_triples(
     analog) first, then entity triples (qualified by the page's numeric
     context via attach_qualifiers — one broadcast join, the 6-stacked-
     left-joins-to-pivot rewrite), then measurement triples (the
-    vital/lab analog), then sameAs links."""
+    vital/lab analog), then sameAs links.
+
+    The canonicalization mapping is identity for every page outside a
+    near-dup component; the emitters' coalesce(canon_url, url) already
+    reconstructs identity rows, so the join side is pre-filtered to the
+    NON-identity rows — O(duplicate pages) instead of O(corpus). At
+    bench scale AQE then broadcasts it (three map-side joins, no
+    exchange); at 10^12 docs it is still a corpus-factor-smaller
+    shuffle side."""
+    sparse = mapping.filter(F.col("url") != F.col("canon_url"))
     qualified = attach_qualifiers(candidates)
     return (
-        emit_page_triples(pages, mapping)
-        .unionByName(emit_entity_triples(qualified, mapping))
-        .unionByName(emit_measurement_triples(candidates, mapping))
-        .unionByName(emit_sameas_triples(mapping))
+        emit_page_triples(pages, sparse)
+        .unionByName(emit_entity_triples(qualified, sparse))
+        .unionByName(emit_measurement_triples(candidates, sparse))
+        .unionByName(emit_sameas_triples(sparse))
     )

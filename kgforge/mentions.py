@@ -54,14 +54,91 @@ def _compile_alias_regex(aliases: list[str]) -> re.Pattern:
     # longest-first so overlapping aliases prefer the most specific match,
     # word-bounded so 'agg' does not match inside 'aggregate'
     parts = sorted((re.escape(a) for a in aliases if a), key=len, reverse=True)
-    return re.compile(r"\b(" + "|".join(parts) + r")\b", re.IGNORECASE)
+    return re.compile(r"\b(" + r"|".join(parts) + r")\b", re.IGNORECASE)
 
 
-def make_mention_udf(aliases: list[str]):
+# Past this many aliases the compiled alternation's per-position cost
+# (O(|aliases|)-ish in CPython re) dominates; the token engine's cost is
+# O(tokens) regardless of dictionary size.
+TOKEN_ENGINE_MIN_ALIASES = 4096
+
+_TOKEN_RE = re.compile(r"\w+")
+
+
+def _build_token_index(aliases: list[str]):
+    """first-token -> [(alias_lower, n_tokens, char_len)] sorted by char
+    length DESC — the same longest-first preference as the alternation
+    regex. Returns None when any alias is not a plain word sequence (the
+    regex path then keeps exact semantics for exotic aliases)."""
+    by_first: dict[str, list[tuple[str, int, int]]] = {}
+    for a in aliases:
+        if not a:
+            continue
+        low = a.lower()
+        toks = low.split(" ")
+        if any(not t or _TOKEN_RE.fullmatch(t) is None for t in toks):
+            return None
+        by_first.setdefault(toks[0], []).append((low, len(toks), len(low)))
+    for v in by_first.values():
+        v.sort(key=lambda x: -x[2])
+    return by_first
+
+
+def _token_find(t: str, by_first) -> list[tuple[int, int, str]]:
+    """Longest-first, non-overlapping, word-bounded alias matches via
+    tokenization — byte-identical to the alternation regex's semantics
+    (matches start at word boundaries = token starts; after a match the
+    scan resumes at its end; ties impossible because equal-length
+    matches at one position are the same lowered string)."""
+    spans = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(t)]
+    out = []
+    i = 0
+    n = len(spans)
+    while i < n:
+        s0, e0 = spans[i]
+        cands = by_first.get(t[s0:e0].lower())
+        hit = None
+        if cands:
+            for alias, ntok, alen in cands:  # char-length desc
+                j = i + ntok - 1
+                if j < n:
+                    end = spans[j][1]
+                    if end - s0 == alen and t[s0:end].lower() == alias:
+                        hit = (s0, end, alias, j)
+                        break
+        if hit:
+            out.append((hit[0], hit[1], hit[2]))
+            i = hit[3] + 1
+        else:
+            i += 1
+    return out
+
+
+def make_mention_udf(aliases: list[str], engine: str = "auto"):
     """Build the detection UDF with the alias set baked in. The caller
     passes aliases collected from the (small) dictionary; Spark ships the
-    compiled pattern once per executor, not per row."""
-    pattern = _compile_alias_regex(aliases) if aliases else None
+    compiled pattern / token index once per executor, not per row.
+
+    engine: 'regex' (compiled alternation — fastest under ~10^3
+    aliases), 'token' (tokenize-then-hash-lookup — O(tokens) per page
+    independent of dictionary size, the realistic-ontology path at
+    10^5-10^6 aliases, pcornet_med scale), or 'auto' (token engine past
+    TOKEN_ENGINE_MIN_ALIASES when every alias is a plain word sequence).
+    Both engines produce byte-identical output (pytest-asserted)."""
+    token_index = None
+    pattern = None
+    if aliases:
+        if engine in ("auto", "token"):
+            token_index = _build_token_index(aliases)
+            if token_index is None and engine == "token":
+                raise ValueError("token engine requires plain word-sequence aliases")
+        use_token = token_index is not None and (
+            engine == "token"
+            or (engine == "auto" and len(aliases) >= TOKEN_ENGINE_MIN_ALIASES)
+        )
+        if not use_token:
+            token_index = None
+            pattern = _compile_alias_regex(aliases)
 
     @pandas_udf(MENTION_STRUCT)
     def detect(text: pd.Series) -> pd.Series:
@@ -71,7 +148,10 @@ def make_mention_udf(aliases: list[str]):
                 out.append([])
                 continue
             ms = []
-            if pattern is not None:
+            if token_index is not None:
+                for s, e, alias in _token_find(t, token_index):
+                    ms.append((s, e, alias, "entity", None, None))
+            elif pattern is not None:
                 for m in pattern.finditer(t):
                     ms.append(
                         (m.start(), m.end(), m.group(1).lower(), "entity", None, None)
@@ -94,13 +174,13 @@ def make_mention_udf(aliases: list[str]):
     return detect
 
 
-def detect_mentions(pages: DataFrame, aliases: list[str]) -> DataFrame:
+def detect_mentions(pages: DataFrame, aliases: list[str], engine: str = "auto") -> DataFrame:
     """pages(url, warc_ts, text, ...) -> mentions, one row per mention.
 
     Output: (url, warc_ts, mention_id, span_start, span_end, surface,
     kind, value_num, value_text).
     """
-    udf = make_mention_udf(aliases)
+    udf = make_mention_udf(aliases, engine)
     withm = pages.select(
         "url", "warc_ts", F.explode(udf(F.col("text"))).alias("m")
     )

@@ -952,10 +952,140 @@ FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
 """
 
 
+def q_path_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-offset path slice + path-leaf extraction — the
+    SUBSTR(c_fullname, 18, 2) dx_type slices
+    (Oracle/PCORNetLoader_ora.sql:1475, :1352) and the last-path-segment
+    code derivation (MSSQL/ontology_fix_script_ms_v5.sql:8). Paths are
+    built deterministically from region/nation, then sliced both ways:
+    the robust element_at(split) form AND the raw fixed offset."""
+    n = read_table(spark, "nation", sf_dir)
+    r = read_table(spark, "region", sf_dir)
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    path = F.concat(F.lit("\\KG\\"), F.col("r_name"), F.lit("\\"), F.col("n_name"))
+    return j.select(
+        "n_nationkey",
+        path.alias("path"),
+        F.element_at(F.split(path, r"\\"), -1).alias("leaf"),
+        F.element_at(F.split(path, r"\\"), 3).alias("domain"),
+        F.substring(path, 5, 2).alias("fixed_slice"),
+    ).orderBy("n_nationkey")
+
+
+ORACLE_PATH_SLICE = """
+SELECT n_nationkey,
+       '\\KG\\' || r_name || '\\' || n_name AS path,
+       n_name AS leaf,
+       r_name AS domain,
+       substring('\\KG\\' || r_name || '\\' || n_name, 5, 2) AS fixed_slice
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+
+def q_composite_key_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x encounter scoping on a composite 2-col key — every
+    reference emitter inner-joins pmnENCOUNTER on (patid, encounterid)
+    to scope its facts (Oracle/PCORNetLoader_ora.sql:1445, :1604,
+    :1936, :2110). Here: 'encounters' = (user_id, event_type) pairs
+    that have a click, facts scoped to them on BOTH columns (a
+    sort-merge join on the composite key; AQE splits it if skewed)."""
+    ev = read_table(spark, "events", sf_dir)
+    enc = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("enc_user"),
+            F.col("event_type").alias("enc_type"),
+        )
+        .distinct()
+    )
+    scoped = ev.join(
+        enc,
+        (F.col("user_id") == F.col("enc_user"))
+        & (F.col("event_type") == F.col("enc_type")),
+        "inner",
+    ).select("user_id", "event_type", "event_id", "value")
+    return (
+        scoped.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scoped"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 4)))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE_COMPOSITE_KEY_SCOPE = """
+WITH enc AS (
+  SELECT DISTINCT user_id, event_type FROM events WHERE event_type = 'click'
+)
+SELECT e.user_id, e.event_type, COUNT(*) AS n_scoped,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN enc ON e.user_id = enc.user_id AND e.event_type = enc.event_type
+GROUP BY e.user_id, e.event_type ORDER BY e.user_id, e.event_type
+"""
+
+
+def q_loyalty_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrollment span with loyalty-period override — the per-patient
+    enrollment emitter (min/max dates per patient,
+    Oracle/PCORNetLoader_ora.sql:1740-1744) self-left-joined to the
+    optional loyalty table: when a loyalty period exists it OVERRIDES
+    the observed span and flags basis 'L', else the observed span with
+    basis 'E'. The loyalty relation is derived deterministically
+    (user_id % 5 == 0), mirroring the empty-view fallback semantics
+    (:166-177)."""
+    ev = read_table(spark, "events", sf_dir)
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("obs_start"), F.max("ts").alias("obs_end")
+    )
+    loyalty = (
+        ev.filter(F.col("user_id") % 5 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("loy_start"),
+            F.date_trunc("day", F.max("ts")).alias("loy_end"),
+        )
+    )
+    j = span.join(loyalty, "user_id", "left")
+    return j.select(
+        "user_id",
+        F.coalesce("loy_start", "obs_start").alias("enr_start"),
+        F.coalesce("loy_end", "obs_end").alias("enr_end"),
+        F.when(F.col("loy_start").isNotNull(), F.lit("L"))
+        .otherwise(F.lit("E"))
+        .alias("enr_basis"),
+    ).orderBy("user_id")
+
+
+ORACLE_LOYALTY_OVERRIDE = """
+WITH span AS (
+  SELECT user_id, MIN(ts) AS obs_start, MAX(ts) AS obs_end
+  FROM events GROUP BY user_id
+),
+loyalty AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS loy_start,
+         date_trunc('day', MAX(ts)) AS loy_end
+  FROM events WHERE user_id % 5 = 0 GROUP BY user_id
+)
+SELECT s.user_id,
+       COALESCE(l.loy_start, s.obs_start) AS enr_start,
+       COALESCE(l.loy_end, s.obs_end) AS enr_end,
+       CASE WHEN l.loy_start IS NOT NULL THEN 'L' ELSE 'E' END AS enr_basis
+FROM span s LEFT JOIN loyalty l ON s.user_id = l.user_id
+ORDER BY s.user_id
+"""
+
+
 QUERIES = {
     "rel_rollup": q_rollup,
     "rel_unit_convert": q_unit_convert,
     "rel_format_lpad": q_format_lpad,
+    "rel_path_slice": q_path_slice,
+    "rel_composite_key_scope": q_composite_key_scope,
+    "rel_loyalty_override": q_loyalty_override,
     "rel_union_all": q_union_all,
     "rel_except": q_except,
     "rel_intersect": q_intersect,
@@ -991,6 +1121,9 @@ ORACLES = {
     "rel_rollup": ORACLE_ROLLUP,
     "rel_unit_convert": ORACLE_UNIT_CONVERT,
     "rel_format_lpad": ORACLE_FORMAT_LPAD,
+    "rel_path_slice": ORACLE_PATH_SLICE,
+    "rel_composite_key_scope": ORACLE_COMPOSITE_KEY_SCOPE,
+    "rel_loyalty_override": ORACLE_LOYALTY_OVERRIDE,
     "rel_union_all": ORACLE_UNION_ALL,
     "rel_except": ORACLE_EXCEPT,
     "rel_intersect": ORACLE_INTERSECT,

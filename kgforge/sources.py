@@ -99,10 +99,30 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
-def write_triples(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Triple sink. On a real cluster this is
-    `df.writeTo('cat.db.triples').overwritePartitions()` on an Iceberg
-    table partitioned by pred + bucket(subj); without the Iceberg jars we
-    write parquet partitioned by pred (same pruning behavior for readers).
-    """
-    df.write.mode(mode).partitionBy("pred").parquet(path)
+def write_triples(df: DataFrame, target: str, mode: str = "overwrite") -> str:
+    """Triple sink — publishes the final triple set.
+
+    `target` is either an Iceberg table identifier (no '/'; e.g.
+    `cat.db.triples`) or a filesystem path. When the identifier form is
+    given AND the session has the Iceberg jars, this takes the
+    `writeTo(...).overwritePartitions()` path on a table partitioned by
+    pred (+ bucket(subj) in the table's partition spec); otherwise it
+    writes parquet partitioned by pred — the same pruning behavior for
+    readers. Returns which sink was used ('iceberg' | 'parquet')."""
+    spark = df.sparkSession
+    is_identifier = "/" not in target and not target.startswith("file:")
+    if is_identifier:
+        if not have_iceberg(spark):
+            raise RuntimeError(
+                f"target {target!r} is a table identifier but no Iceberg "
+                "catalog is available in this session; pass a path for "
+                "the parquet fallback"
+            )
+        w = df.writeTo(target)
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return "iceberg"
+    df.write.mode(mode).partitionBy("pred").parquet(target)
+    return "parquet"

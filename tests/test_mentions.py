@@ -58,3 +58,39 @@ def test_mention_ids_deterministic_across_partitioning(spark):
 def test_null_text_yields_no_mentions(spark):
     m = detect_mentions(_pages(spark), ["alpha"])
     assert m.filter(F.col("url") == "u4").count() == 0
+
+
+def test_token_engine_byte_identical_to_regex(spark, fixture_dir):
+    """The O(tokens) token engine must produce byte-identical mentions
+    to the alternation-regex engine on the synthetic fixture (multi-word
+    aliases, overlaps, case, numerics included) — the large-dictionary
+    path cannot drift (VERDICT round-1 #10)."""
+    pages = extract_pages(
+        spark.read.parquet(f"{fixture_dir}/pages.parquet"), langs=("en",)
+    )
+    aliases = ["alpha", "bravo", "charlie", "data", "data table", "TABLE",
+               "join", "hash", "alpha bravo charlie"]
+    cols = ["url", "span_start", "span_end", "surface", "kind", "value_num", "value_text"]
+    a = sorted(map(tuple, detect_mentions(pages, aliases, engine="regex").select(cols).collect()))
+    b = sorted(map(tuple, detect_mentions(pages, aliases, engine="token").select(cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_token_engine_longest_first_and_nonoverlap():
+    """Unit semantics: longest alias wins at a position; matches never
+    overlap; scan resumes after each match — identical to finditer over
+    the longest-first alternation."""
+    from kgforge.mentions import _build_token_index, _token_find, _compile_alias_regex
+
+    aliases = ["data", "data table join", "table", "join", "big data"]
+    idx = _build_token_index(aliases)
+    for text in [
+        "big data table join data",
+        "Big DATA  table join",
+        "data-table join data table join x",
+        "nodata data tablejoin table",
+    ]:
+        got = _token_find(text, idx)
+        pat = _compile_alias_regex(aliases)
+        want = [(m.start(), m.end(), m.group(1).lower()) for m in pat.finditer(text)]
+        assert got == want, (text, got, want)

@@ -261,3 +261,26 @@ def test_neardup_cosine_blocked_no_cartesian(spark, sf01):
     rows = {(r["a"], r["b"]) for r in df.collect()}
     expected = {(i, i + 100000) for i in range(0, 500, 25)}
     assert rows == expected
+
+
+def test_write_triples_publish_paths(spark, tmp_path):
+    """write_triples takes the Iceberg path for table identifiers when
+    the catalog exists, the pred-partitioned parquet path otherwise, and
+    refuses an identifier it cannot honor rather than silently writing
+    somewhere else (fallback-source discipline,
+    Oracle/PCORNetLoader_ora.sql:166-177)."""
+    import os
+
+    import pytest as _pytest
+
+    from kgforge.sources import have_iceberg, write_triples
+
+    df = spark.createDataFrame(
+        [("s1", "hasLang", "en"), ("s2", "sameAs", "s1")], "subj string, pred string, obj string"
+    )
+    out = str(tmp_path / "pub")
+    assert write_triples(df, out) == "parquet"
+    assert any(d.startswith("pred=") for d in os.listdir(out))
+    if not have_iceberg(spark):
+        with _pytest.raises(RuntimeError, match="Iceberg"):
+            write_triples(df, "cat.db.triples")
