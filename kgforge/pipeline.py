@@ -395,6 +395,39 @@ def kg_qualifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pmnHARVEST analog (Oracle/PCORNetLoader_ora.sql:773-823): the
+    site-constants emitter — one assertion row per configuration datum
+    (datamart id/name, network, refresh evidence from the corpus), with
+    the NI-coded missingness discipline."""
+    from kgforge.conf import DATAMART_ID, DATAMART_NAME, NETWORK_ID, NI
+
+    d = read_table(spark, "documents", sf_dir)
+    n_docs = d.filter(F.col("lang") == "en").count()
+    rows = [
+        ("kgforge", "hasDatamartId", DATAMART_ID),
+        ("kgforge", "hasDatamartName", DATAMART_NAME),
+        ("kgforge", "hasNetworkId", NETWORK_ID),
+        ("kgforge", "hasEnDocCount", str(n_docs)),
+        ("kgforge", "hasRefreshNote", NI),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    ).orderBy("pred")
+
+
+ORACLE_KG_HARVEST = """
+SELECT * FROM (
+  VALUES ('kgforge', 'hasDatamartId', 'KGF'),
+         ('kgforge', 'hasDatamartName', 'kgforge'),
+         ('kgforge', 'hasNetworkId', 'CC'),
+         ('kgforge', 'hasEnDocCount',
+          (SELECT CAST(COUNT(*) AS VARCHAR) FROM documents WHERE lang = 'en')),
+         ('kgforge', 'hasRefreshNote', 'NI')
+) AS t(subj, pred, obj) ORDER BY pred
+"""
+
+
 def kg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i2pReport analog over the emitted triple set — aggregates the
     CACHED triple set instead of re-executing the pipeline plan."""
@@ -590,6 +623,7 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_measurements": kg_measurements,
     "kg_qualifiers": kg_qualifiers,
+    "kg_harvest": kg_harvest,
     "kg_report": kg_report,
 }
 
@@ -601,5 +635,6 @@ ORACLES = {
     "kg_triples": ORACLE_KG_TRIPLES,
     "kg_measurements": ORACLE_KG_MEASUREMENTS,
     "kg_qualifiers": ORACLE_KG_QUALIFIERS,
+    "kg_harvest": ORACLE_KG_HARVEST,
     "kg_report": ORACLE_KG_REPORT,
 }
