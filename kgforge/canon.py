@@ -317,7 +317,14 @@ def _cc_local(edges: DataFrame, rows=None) -> DataFrame:
             T.StructField("comp", edges.schema[0].dataType),
         ]
     )
-    return spark.createDataFrame(out, schema)
+    # Arrow path: a pandas frame serializes in columnar batches instead
+    # of row-by-row py4j pickling — the component table can be 10^4-10^5
+    # rows and this sits inside the canon stage's fixed cost
+    if out:
+        return spark.createDataFrame(
+            pd.DataFrame(out, columns=["node", "comp"]), schema
+        )
+    return spark.createDataFrame([], schema)
 
 
 def _cc_distributed(edges: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -119,15 +119,26 @@ class CheckpointManager:
 
 
 def _footer_row_count(path: str) -> int:
-    """Exact row count of a parquet directory from file footers only."""
+    """Exact row count of a parquet directory from file footers only.
+    Footer reads are tiny but serial-latency-bound over hundreds of
+    stage files — a thread pool keeps this out of the per-stage fixed
+    cost (it sits inside every stage's measured wall)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-    return total
+    paths = [
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(path)
+        for fn in files
+        if fn.endswith(".parquet")
+    ]
+    if not paths:
+        return 0
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+        return sum(
+            ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths)
+        )
 
 
 def fingerprint_input(path: str) -> str:

@@ -155,6 +155,92 @@ def run_stream_parity(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return stream_rows, batch_rows
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 min, microseconds — shared with st_sessionize
+
+_SESS_OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+_SESS_STATE_SCHEMA = "last_us long, n_sessions long, n_events long"
+
+
+def _sessionize_group(key, pdf_iter, state):
+    """Per-user session counter as an arbitrary-stateful streaming
+    operator (applyInPandasWithState). State carries (last event epoch-us,
+    session count, event count) across micro-batches; each batch's rows
+    are folded in (ts, event_id) order, so the cumulative counts equal
+    the batch window expression in st_sessionize for in-order sources.
+
+    This is the custom-stateful-operator surface of the engine — the
+    streaming twin of the lag+cumsum batch plan, for sources (Kafka/CDC)
+    where the full history is never co-resident."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_us, n_sessions, n_events = state.get
+    else:
+        last_us, n_sessions, n_events = None, 0, 0
+    for pdf in pdf_iter:
+        for ts_us in pdf.sort_values(["ts_us", "event_id"])["ts_us"]:
+            ts_us = int(ts_us)
+            if last_us is None or ts_us - last_us > SESSION_GAP_US:
+                n_sessions += 1
+            last_us = ts_us
+            n_events += 1
+    state.update((last_us, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def run_stateful_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "events.parquet",
+) -> list:
+    """Drive per-user sessionization through Structured Streaming with
+    applyInPandasWithState and return the final per-user rows (the last
+    update per user across micro-batches). The pytest parity test asserts
+    these equal the batch st_sessionize output on the same events —
+    including a multi-micro-batch run (maxFilesPerTrigger=1 over
+    time-split files) where state genuinely carries across batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", path_glob
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st_stateful_sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update-mode memory sink appends one row per (batch, user) —
+        # keep each user's LAST update (dict insertion order follows the
+        # sink's batch append order)
+        final: dict[int, tuple] = {}
+        for r in spark.sql("SELECT * FROM st_stateful_sess_out").collect():
+            final[r["user_id"]] = (r["user_id"], r["n_sessions"], r["n_events"])
+    finally:
+        q.stop()
+    return [final[u] for u in sorted(final)]
+
+
 QUERIES = {
     "st_tumbling_agg": st_tumbling_agg,
     "st_sessionize": st_sessionize,

@@ -28,6 +28,51 @@ def test_stream_batch_parity(spark, sf001, tmp_path):
     assert s == b
 
 
+def test_stateful_sessionize_parity(spark, sf001, tmp_path):
+    """applyInPandasWithState sessionize == batch lag+cumsum sessionize,
+    both single-batch and across micro-batches (state carry-over)."""
+    import time as _time
+
+    from kgforge.streaming import run_stateful_sessionize, st_sessionize
+
+    batch = [
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in st_sessionize(spark, sf001).collect()
+    ]
+
+    # single micro-batch: whole events table at once
+    one = tmp_path / "stream_one"
+    one.mkdir()
+    import shutil
+
+    shutil.copy(f"{sf001}/events.parquet", one / "events.parquet")
+    assert run_stateful_sessionize(spark, str(one)) == batch
+
+    # multi micro-batch: time-split halves, oldest file first, one file
+    # per trigger — per-user state must carry between batches
+    ev = spark.read.parquet(f"{sf001}/events.parquet").withColumn(
+        "_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    med = ev.approxQuantile("_us", [0.5], 0.0)[0]
+    multi = tmp_path / "stream_multi"
+    for i, part in enumerate(
+        (
+            ev.filter(F.col("_us") <= med).drop("_us"),
+            ev.filter(F.col("_us") > med).drop("_us"),
+        )
+    ):
+        tmp = tmp_path / f"half{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        multi.mkdir(exist_ok=True)
+        src = next(tmp.glob("part-*.parquet"))
+        shutil.copy(src, multi / f"events{i}.parquet")
+        _time.sleep(1.1)  # file-source orders batches by mod time
+    got = run_stateful_sessionize(
+        spark, str(multi), max_files_per_trigger=1, path_glob="events*.parquet"
+    )
+    assert got == batch
+
+
 def test_multimodal_stub_and_plumbing(spark):
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
