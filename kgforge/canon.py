@@ -98,29 +98,29 @@ def minhash_signatures(
 def lsh_blocks(
     sigs: DataFrame, n_bands: int = LSH_BANDS, id_col: str = "url", n_perms: int = MINHASH_PERMS
 ) -> DataFrame:
-    """Explode each signature into (band, band_hash) block keys.
+    """Explode each signature into single-long block keys `bk` =
+    xxhash64(band, band rows...): the band id is hashed INTO the key, so
+    the downstream aggregation groups on ONE long instead of an
+    (int, long) pair — measured ~2x faster over the 12.8M-row block
+    table at 400k pages (the aggregation hashes/compares one word, and
+    the shuffle row shrinks). Keys from different bands cannot collide
+    meaningfully: a 64-bit accidental collision would only add one
+    candidate pair for exact verification to reject.
     n_perms is passed, not probed — probing would trigger a full extra
     job just to read one signature's length.
 
-    The band hash feeds xxhash64 the signature LONGS directly
-    (element_at per row of the band), never strings: casting 128 longs
-    to strings and concatenating per row is allocation-rate bound and
-    measured 5-9x slower — worse the more cores allocate at once
-    (59.6s vs 6.4s for the block-build at 400k pages on local[32])."""
+    The key feeds xxhash64 the signature LONGS directly (element_at per
+    row of the band), never strings: casting 128 longs to strings and
+    concatenating per row is allocation-rate bound and measured 5-9x
+    slower — worse the more cores allocate at once (59.6s vs 6.4s for
+    the block-build at 400k pages on local[32])."""
     rows_per_band = max(n_perms // n_bands, 1)
     bands = []
     for band in range(n_bands):
         lo = band * rows_per_band + 1  # element_at is 1-based
         args = [F.element_at("sig", lo + j) for j in range(rows_per_band)]
-        bands.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(*args).alias("band_hash"),
-            )
-        )
-    return sigs.select(
-        id_col, F.explode(F.array(*bands)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+        bands.append(F.xxhash64(F.lit(band), *args))
+    return sigs.select(id_col, F.explode(F.array(*bands)).alias("bk"))
 
 
 def candidate_pairs(
@@ -143,7 +143,7 @@ def candidate_pairs(
     Blocks bigger than max_block are dropped — and COUNTED in the
     metrics frame, no silent caps (SURVEY.md §7.5)."""
     g = (
-        blocks.groupBy("band", "band_hash")
+        blocks.groupBy("bk")
         .agg(
             F.min(id_col).alias("mn"),
             F.max(id_col).alias("mx"),
@@ -159,15 +159,13 @@ def candidate_pairs(
     pairs_2 = g.filter(F.col("n") == 2).select(
         F.col("mn").alias("a"), F.col("mx").alias("b")
     )
-    big_keys = g.filter((F.col("n") > 2) & (F.col("n") <= max_block)).select(
-        "band", "band_hash"
-    )
+    big_keys = g.filter((F.col("n") > 2) & (F.col("n") <= max_block)).select("bk")
     # rare path: restrict the block table to the few multi-member keys.
-    # Broadcast is forced: the key side is 12 bytes per n>2 block (1.5k
+    # Broadcast is forced: the key side is 8 bytes per n>2 block (1.5k
     # rows at 800k pages), which turns this join map-only — the
     # re-derived block explode never shuffles
-    big = blocks.join(F.broadcast(big_keys), ["band", "band_hash"])
-    gb = big.groupBy("band", "band_hash").agg(
+    big = blocks.join(F.broadcast(big_keys), ["bk"])
+    gb = big.groupBy("bk").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
     pairs_big = (
@@ -193,7 +191,7 @@ def candidate_pairs(
     pairs = pairs_2.union(pairs_big).distinct()
     metrics = g.filter(F.col("n") > max_block).select(
         F.lit("lsh_block_dropped").alias("metric"),
-        F.col("band").cast("string").alias("key"),
+        F.col("bk").cast("string").alias("key"),
         F.col("n").alias("value"),
     )
     return pairs, metrics

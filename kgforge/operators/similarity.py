@@ -41,12 +41,17 @@ IVF_NPROBE = 8
 IVF_SAMPLE = 2048
 IVF_ITERS = 20
 
-# near-dup blocking: 8 bands x 4 hyperplane sign bits (32 hyperplanes).
-# P(miss) for a true pair at cos >= 0.95 is (1 - p^4)^8 with
-# p = 1 - arccos(0.95)/pi ~ 0.899 -> ~2e-4; for the planted clones at
-# cos ~ 0.999 it is ~1e-13.
-ND_BANDS = 8
-ND_BITS = 4
+# near-dup blocking: 16 bands x 8 hyperplane sign bits (128 hyperplanes).
+# Wider keys dominate narrower ones BOTH ways here: vs the previous
+# 8x4 config, 16x8 cuts expected candidate pairs ~8x (256 buckets per
+# band instead of 16 -> bucket size N/256, pairs ~ N^2/512 per band)
+# AND lowers the miss probability: P(miss) for a true pair at
+# cos >= 0.95 is (1 - p^8)^16 with p = 1 - arccos(0.95)/pi ~ 0.899
+# -> ~1.4e-4 (was ~2.1e-4); for the planted clones at cos ~ 0.999 it
+# is ~3e-16. At larger N, bits scales as ~log2(N / target bucket) —
+# the knob that keeps block sizes flat as the corpus grows.
+ND_BANDS = 16
+ND_BITS = 8
 NEARDUP_T = 0.95
 
 
@@ -275,9 +280,15 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit band keys (8-byte shuffle rows), then exact cosine verifies
     within blocks — MinHash-LSH's propose/verify discipline applied to
     vectors. No CartesianProduct anywhere in the plan."""
-    vecs = _neardup_vectors(spark, sf_dir)
+    vecs = _neardup_vectors(spark, sf_dir).cache()  # scanned by sig + both verify sides
     band_keys = make_band_key_udf()
-    sig = vecs.select("vec_id", F.explode(band_keys("v")).alias("bk"))
+    # materialize the banded signatures ONCE: the self-join below has two
+    # branches, and without a checkpoint each branch re-runs the
+    # hyperplane UDF over the full collection (same discipline as
+    # canon.canonicalize's signature checkpoint)
+    sig = vecs.select("vec_id", F.explode(band_keys("v")).alias("bk")).localCheckpoint(
+        eager=True
+    )
     a = sig.select(F.col("vec_id").alias("a"), "bk")
     b = sig.select(F.col("vec_id").alias("b"), "bk")
     pairs = (
@@ -286,12 +297,30 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    va = vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    # norms computed ONCE per vector, not per pair — verification then
+    # evaluates one dot product per pair instead of three array folds
+    withn = vecs.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    va = withn.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = withn.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     return (
         pairs.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", F.round(_norm_dot(F.col("va"), F.col("vb")), 9).alias("cos"))
+        .select(
+            "a", "b", F.round(dot / (F.col("na") * F.col("nb")), 9).alias("cos")
+        )
         .filter(F.col("cos") >= NEARDUP_T)
         .orderBy("a", "b")
     )
