@@ -1,0 +1,79 @@
+"""Physical-plan hygiene gates.
+
+The scale posture is made of plan properties (broadcasts, pushdown,
+column pruning, no cartesian products, codegen). These tests pin them
+structurally so a refactor that silently degrades the plan — a
+broadcast hint lost, a filter no longer reaching the scan — fails CI
+even while outputs stay correct at test scale.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_linker_is_broadcast_no_cartesian(spark, sf001):
+    """The mention->dictionary join must broadcast the dictionary: the
+    corpus side of the linker is never shuffled (SURVEY.md §3.2)."""
+    from kgforge.pipeline import _candidates
+
+    plan = plan_of(_candidates(spark, sf001))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_scan_pushdown_and_pruning(spark, sf001):
+    """Filters reach the parquet scan and the scan reads only the
+    projected columns — the PushedFilters/ReadSchema discipline."""
+    from kgforge.operators.relational import QUERIES
+
+    plan = plan_of(QUERIES["rel_filtered_scan"](spark, sf001))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip()
+    # column pruning: lineitem is 16 columns; the scan schema must not
+    # carry all of them
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert read_schema.count(",") < 10
+
+
+def test_minhash_pair_path_no_cartesian(spark, sf001):
+    from kgforge.operators.dedup import dd_minhash_lsh
+
+    plan = plan_of(dd_minhash_lsh(spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triples_plan_broadcasts_sparse_mapping(spark, sf001):
+    """all_triples joins the corpus against the NON-identity mapping
+    rows; that side is duplicate-pages-sized and must broadcast (or at
+    minimum never drive a cartesian)."""
+    from kgforge.pipeline import _triples
+
+    plan = plan_of(_triples(spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_textstats_stays_jvm_side(spark, sf001):
+    """tx_quality is all built-in expressions — no Python evaluation
+    node anywhere, and the scan stays columnar (Batched: true). The
+    formatted AQE plan does not label codegen spans, so absence of
+    Batch/ArrowEvalPython IS the JVM-side assertion."""
+    from kgforge.operators.textstats import QUERIES
+
+    plan = plan_of(QUERIES["tx_quality"](spark, sf001))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Batched: true" in plan
