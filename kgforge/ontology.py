@@ -126,39 +126,69 @@ def _propagate_local(dic: DataFrame) -> DataFrame:
     return out
 
 
-def _propagate_distributed(dic: DataFrame, max_depth: int = 20) -> DataFrame:
-    nodes = dic.cache()
-    resolved = nodes.filter(F.col("canonical_id").isNotNull()).select(
-        "concept_path", "canonical_id"
+def pointer_double_nearest_value(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    value_col: str = "value",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Nearest-valued-ancestor (self included) by POINTER DOUBLING.
+
+    Round k holds, per node, its 2^k-th ancestor pointer and the nearest
+    valued node among its first 2^k ancestors; one self-join composes two
+    half-segments into the 2^(k+1) state, so a depth-D tree resolves in
+    ceil(log2 D) rounds instead of D — each round is one shuffle of
+    (id, ptr, best) plus a localCheckpoint to cut lineage. The near
+    half-segment wins ties by construction, which IS the nearest-ancestor
+    preference. Returns (id_col, value_col) for every node that resolves.
+
+    Shared by the distributed ontology propagation (the recursive-CTE
+    cui/ndc push-down, MSSQL/PCORI_MEDS_SCHEMA_CHANGE.sql:34-54) and the
+    driver-checkable rel_hierarchy_propagation query."""
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    state = nodes.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("ptr"),
+        F.col(value_col).alias("best"),
     )
-    pending = nodes.filter(F.col("canonical_id").isNull()).select(
-        "concept_path", F.col("parent_path").alias("cur_ancestor")
-    )
-    for _ in range(max_depth):
-        if pending.isEmpty():
+    for _ in range(rounds):
+        # done when every still-unresolved node has run out of ancestors
+        if state.filter(F.col("best").isNull() & F.col("ptr").isNotNull()).isEmpty():
             break
-        hit = pending.join(
-            resolved.select(
-                F.col("concept_path").alias("cur_ancestor"),
-                F.col("canonical_id").alias("inherited_id"),
-            ),
-            "cur_ancestor",
-            "inner",
-        ).select("concept_path", "inherited_id")
-        resolved = resolved.union(
-            hit.select("concept_path", F.col("inherited_id").alias("canonical_id"))
-        ).localCheckpoint(eager=True)
-        parent_of = nodes.select(
-            F.col("concept_path").alias("cur_ancestor"),
-            F.col("parent_path").alias("next_ancestor"),
+        other = state.select(
+            F.col("id").alias("ptr"),
+            F.col("ptr").alias("o_ptr"),
+            F.col("best").alias("o_best"),
         )
-        pending = (
-            pending.join(hit.select("concept_path"), "concept_path", "left_anti")
-            .join(parent_of, "cur_ancestor", "inner")
-            .select("concept_path", F.col("next_ancestor").alias("cur_ancestor"))
-            .filter(F.col("cur_ancestor").isNotNull())
+        state = (
+            state.join(other, "ptr", "left")
+            .select(
+                "id",
+                F.col("o_ptr").alias("ptr"),
+                F.coalesce("best", "o_best").alias("best"),
+            )
             .localCheckpoint(eager=True)
         )
+    return state.filter(F.col("best").isNotNull()).select(
+        F.col("id").alias(id_col), F.col("best").alias(value_col)
+    )
+
+
+def _propagate_distributed(dic: DataFrame, max_depth: int = 20) -> DataFrame:
+    nodes = dic.cache()
+    resolved = pointer_double_nearest_value(
+        nodes.select(
+            F.col("concept_path").alias("id"),
+            F.col("parent_path").alias("parent"),
+            F.col("canonical_id").alias("value"),
+        ),
+        max_depth=max(max_depth, 2),
+    ).select(
+        F.col("id").alias("concept_path"), F.col("value").alias("canonical_id")
+    )
     return (
         nodes.drop("canonical_id")
         .join(resolved, "concept_path", "left")

@@ -728,37 +728,13 @@ def q_hierarchy_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).cache()
 
-    # state_k(v) = (ptr: 2^k-th ancestor of v, best: nearest valued node
-    # among v's ancestors at distance 0..2^k-1, i.e. the half-open
-    # segment starting at v itself)
-    state = nodes.select(
-        "id", F.col("parent_id").alias("ptr"), F.col("own_value").alias("best")
+    from kgforge.ontology import pointer_double_nearest_value
+
+    resolved = pointer_double_nearest_value(
+        nodes.select("id", F.col("parent_id").alias("parent"), F.col("own_value").alias("value")),
+        max_depth=64,  # > the 48-round cap in the oracle's recursive CTE
     )
-    for _ in range(6):  # 2^6 = 64 > max tree depth (48-cap in the oracle)
-        # done when every still-unresolved node has run out of ancestors
-        if state.filter(F.col("best").isNull() & F.col("ptr").isNotNull()).isEmpty():
-            break
-        other = state.select(
-            F.col("id").alias("ptr"),
-            F.col("ptr").alias("o_ptr"),
-            F.col("best").alias("o_best"),
-        )
-        state = (
-            state.join(other, "ptr", "left")
-            .select(
-                "id",
-                F.col("o_ptr").alias("ptr"),
-                # near half-segment wins: 'best' covers distances below
-                # 2^k, 'o_best' the segment starting at the 2^k ancestor
-                F.coalesce("best", "o_best").alias("best"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return (
-        state.filter(F.col("best").isNotNull())
-        .select("id", F.col("best").alias("value"))
-        .orderBy("id")
-    )
+    return resolved.orderBy("id")
 
 
 ORACLE_HIERARCHY_PROPAGATION = """
