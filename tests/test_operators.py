@@ -73,6 +73,80 @@ def test_stateful_sessionize_parity(spark, sf001, tmp_path):
     assert got == batch
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark: a window is emitted
+    exactly once after the watermark passes its end, and an event
+    arriving later than the watermark is DROPPED (not re-emitted, not
+    merged) — the late-data discipline the streaming surface claims."""
+    import time as _time
+
+    from kgforge.streaming import EVENTS_SCHEMA, _windowed_agg
+
+    def write_events(path, rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+        src = next(path.glob("part-*.parquet"))
+        return src
+
+    import datetime as dt
+    import shutil
+
+    ts = lambda h, m: dt.datetime(2023, 1, 1, h, m)  # noqa: E731
+    stream_dir = tmp_path / "wm_stream"
+    stream_dir.mkdir()
+    # batch 1: three events in the 10:00 window, one at 12:30 that
+    # pushes the watermark strictly past the 10:00 window's end (to
+    # 11:30) once the batch commits
+    a = write_events(
+        tmp_path / "wa",
+        [
+            (1, ts(10, 0), 1, "click", 1.0, None),
+            (2, ts(10, 15), 1, "click", 1.0, None),
+            (3, ts(10, 30), 2, "click", 1.0, None),
+            (4, ts(12, 30), 1, "click", 1.0, None),
+        ],
+    )
+    shutil.copy(a, stream_dir / "events0.parquet")
+    _time.sleep(1.1)
+    # batch 2: advancer only — the 10:00 window finalizes and emits
+    # HERE (watermark updates apply from the batch after they are
+    # computed; a late row landing in the same batch as finalization
+    # would still merge)
+    b = write_events(tmp_path / "wb", [(6, ts(13, 0), 3, "click", 1.0, None)])
+    shutil.copy(b, stream_dir / "events1.parquet")
+    _time.sleep(1.1)
+    # batch 3: a LATE event for the already-finalized 10:00 window
+    c = write_events(tmp_path / "wc", [(5, ts(10, 45), 1, "click", 1.0, None)])
+    shutil.copy(c, stream_dir / "events2.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    agg = _windowed_agg(stream.withWatermark("ts", "1 hour"))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM wm_out").collect()
+    finally:
+        q.stop()
+    emitted = {r["window_start"]: r["n_events"] for r in rows}
+    # the 10:00 window finalized with batch-1 events only; the late
+    # 10:45 event was dropped, and the window appears exactly once
+    assert emitted.get(ts(10, 0)) == 3
+    assert len(rows) == 1
+    # the 12:00 window never finalized (watermark never passed 13:00)
+    assert ts(12, 0) not in emitted and ts(12, 30) not in emitted
+
+
 def test_multimodal_stub_and_plumbing(spark):
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
