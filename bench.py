@@ -17,6 +17,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,8 +62,23 @@ def main() -> int:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the plan,
-    # not first-call initialization
+    # not first-call initialization: one scan-shaped query, plus one
+    # trivial pandas-UDF job so python workers are spawned with
+    # pandas/numpy imported before the measured loop (same protocol as
+    # BENCH/run_one.py — worker spin-up is a per-boot constant, not an
+    # operator cost)
     materialize(qs["rel_filtered_scan"](spark, SF_DIR))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(0, 4 * CPUS, 1, numPartitions=4 * CPUS).select(
+        F.sum(_warm("id"))
+    ).collect()
 
     total = 0.0
     n_triples = 0
