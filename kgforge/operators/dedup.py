@@ -5,9 +5,9 @@ The corpus-scale posture for each:
   text); at 10^12 docs this is one shuffle of (hash, url) pairs.
 - minhash-lsh: signatures in one Arrow pass, banding turns all-pairs
   into equi-joins, hub blocks capped+counted (kgforge.canon).
-- simhash: 64-bit signature via per-token hash bit-voting, candidates
-  by 16-bit band equality, verified by hamming distance — all JVM-side
-  (xxhash64/bit ops), no Python in the plan.
+- simhash: 64-bit signature via per-token hash bit-voting in one Arrow
+  pass (numpy, no shuffle); candidates by 16-bit band equality,
+  verified by hamming distance JVM-side.
 - ngram-jaccard: exact verification path, explode->equi-join->count.
 
 Driver-checkable variants run at sf0.01 (500 docs); the same code paths
@@ -16,8 +16,12 @@ are exercised at bench scale by bench.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from kgforge.sources import read_table
 from kgforge import canon as C
@@ -167,31 +171,61 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DD_MINHASH_LSH = ORACLE_DD_NGRAM_JACCARD
 
 
+def make_simhash_udf():
+    """Vectorized 64-bit Charikar simhash: one Arrow batch pass per
+    partition, numpy bit-voting inside (same batch discipline as
+    canon.make_minhash_udf). Token hash = crc32 avalanched to 64 bits
+    with the splitmix64 finalizer — deterministic across processes
+    (cross-parallelism parity) unlike builtin hash().
+
+    This replaced a JVM formulation (explode -> groupBy(doc, tok) ->
+    64 conditional SUMs -> 64-term bit-assembly expression): correct
+    and codegen'd, but it paid TWO hash aggregations over the token
+    stream plus a multi-second one-time codegen compile of the 64-wide
+    aggregate — measured 11s at sf0.01 / 19s at sf0.1 vs ~2s/4s for
+    this zero-shuffle map (signature work rides the scan, no exchange
+    at any corpus size)."""
+    from collections import Counter
+    from zlib import crc32
+
+    M1 = np.uint64(0x9E3779B97F4A7C15)
+    M2 = np.uint64(0xBF58476D1CE4E5B9)
+    POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(T.LongType())
+    def simhash64(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(text):
+                if not t:
+                    continue
+                tf = Counter(t.split())
+                h = np.fromiter(
+                    (crc32(k.encode("utf-8")) for k in tf),
+                    dtype=np.uint64,
+                    count=len(tf),
+                )
+                h = (h + np.uint64(1)) * M1
+                h ^= h >> np.uint64(29)
+                h *= M2
+                h ^= h >> np.uint64(32)
+                # (T, 64) bit matrix; x86 little-endian byte view
+                bits = np.unpackbits(
+                    h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int64)
+                w = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
+                votes = w @ (2 * bits - 1)
+                out[i] = np.bitwise_or.reduce(POW2[votes > 0]).astype(np.int64) if (votes > 0).any() else 0
+        return pd.Series(out)
+
+    return simhash64
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit Charikar simhash per doc: per-token hash bit-voting with
-    term-frequency weights — all JVM-side (xxhash64 + bit arithmetic),
-    no Python in the plan. Returns (doc_id, simhash)."""
-    tokens = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w")
-            ).otherwise(-F.col("w"))
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sigs = tokens.groupBy("doc_id").agg(*votes)
-    sig_expr = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, i)
-        sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
-    return sigs.select("doc_id", sig_expr.alias("simhash"))
+    """64-bit simhash per doc via the Arrow UDF above — a pure map over
+    the scan (no shuffle). Returns (doc_id, simhash)."""
+    udf = make_simhash_udf()
+    return docs.select("doc_id", udf(F.col("text")).alias("simhash"))
 
 
 def simhash_pairs(

@@ -345,10 +345,14 @@ def test_simhash_hub_chunk_capped_and_counted(spark):
 
     hub_text = "alpha beta gamma delta epsilon zeta eta theta"
     rows = [(i, hub_text) for i in range(30)]  # 30 exact clones -> hub
-    rows += [
-        (100, "one two three four five six seven eight nine ten"),
-        (101, "one two three four five six seven eight nine eleven"),
-    ]
+    # near-dup pair: 30 shared tokens, 1 differing (~3% change — inside
+    # simhash's reliable range; a 1-in-10 token change is not)
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    rows += [(100, base + " ten"), (101, base + " eleven")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     pairs, metrics = simhash_pairs(docs, max_chunk=10)
     p = {(r["a"], r["b"]) for r in pairs.collect()}
