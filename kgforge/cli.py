@@ -26,6 +26,13 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--langs", default="en", help="comma-separated lang filter, or 'all'")
     runp.add_argument("--threshold", type=float, default=0.8)
     runp.add_argument("--run-id", default="run")
+    runp.add_argument(
+        "--periods",
+        default=None,
+        dest="periods_path",
+        help="optional curated-periods parquet (subj, period_start, "
+        "period_end) overriding observed spans (loyalty-cohort analog)",
+    )
     runp.add_argument("--cpus", type=int, default=None)
     runp.add_argument(
         "--publish",
@@ -63,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             langs=langs,
             threshold=args.threshold,
             run_id=args.run_id,
+            periods_path=args.periods_path,
         )
         if args.publish:
             from kgforge.sources import write_triples

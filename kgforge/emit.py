@@ -151,15 +151,76 @@ def emit_sameas_triples(mapping: DataFrame) -> DataFrame:
     )
 
 
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def emit_span_triples(
+    pages: DataFrame, mapping: DataFrame, periods: DataFrame | None = None
+) -> DataFrame:
+    """hasSpan triples: per-canonical-subject observation span — the
+    pmnENROLLMENT analog (Oracle/PCORNetLoader_ora.sql:1739-1744).
+
+    The reference computes per-patient min/max(start_date) over visits,
+    then a LEFT self-join to the optional loyalty table overrides the
+    observed span with the curated enrollment period (ENR_BASIS 'A'
+    when curated else 'E'; the loyalty view falls back to empty,
+    :166-177). Here: min/max(warc_ts) over a subject's member pages,
+    overridden by an optional curated-periods table
+    (subj, period_start, period_end) via one BROADCAST left join —
+    curated periods are metadata-scale, the span table is corpus-scale.
+
+    obj is the ISO-8601 interval "start/end"; basis rides in qual_kind,
+    the CHART 'Y' analog in qual_comparator, span length in days in
+    qual_value_num."""
+    p = pages.join(mapping, "url", "left").withColumn(
+        "subj", F.coalesce("canon_url", F.col("url"))
+    )
+    spans = p.groupBy("subj").agg(
+        F.min("warc_ts").alias("obs_start"),
+        F.max("warc_ts").alias("obs_end"),
+        F.min("url").alias("src_url"),
+    )
+    if periods is not None:
+        spans = spans.join(F.broadcast(periods), "subj", "left")
+    else:
+        spans = spans.withColumn(
+            "period_start", F.lit(None).cast("timestamp")
+        ).withColumn("period_end", F.lit(None).cast("timestamp"))
+    curated = F.col("period_start").isNotNull()
+    start = F.when(curated, F.col("period_start")).otherwise(F.col("obs_start"))
+    end = F.when(curated, F.col("period_end")).otherwise(F.col("obs_end"))
+    obj = F.concat_ws("/", F.date_format(start, ISO_FMT), F.date_format(end, ISO_FMT))
+    return spans.select(
+        F.xxhash64(F.col("subj"), F.lit("hasSpan"), obj).alias("triple_id"),
+        "subj",
+        F.lit("hasSpan").alias("pred"),
+        obj.alias("obj"),
+        F.when(curated, F.lit("A")).otherwise(F.lit("E")).alias("qual_kind"),
+        F.lit("Y").alias("qual_comparator"),
+        ((F.unix_micros(end) - F.unix_micros(start)) / 86400000000.0).alias(
+            "qual_value_num"
+        ),
+        F.lit(None).cast("string").alias("qual_lang"),
+        F.lit(None).cast("string").alias("raw_surface"),
+        "src_url",
+        end.alias("src_ts"),
+    )
+
+
 def all_triples(
-    pages: DataFrame, candidates: DataFrame, mapping: DataFrame
+    pages: DataFrame,
+    candidates: DataFrame,
+    mapping: DataFrame,
+    periods: DataFrame | None = None,
 ) -> DataFrame:
     """Union of all emitters in dependency order (the pcornetloader DAG,
     Oracle/PCORNetLoader_ora.sql:2600-2618): page triples (encounter
     analog) first, then entity triples (qualified by the page's numeric
     context via attach_qualifiers — one broadcast join, the 6-stacked-
     left-joins-to-pivot rewrite), then measurement triples (the
-    vital/lab analog), then sameAs links.
+    vital/lab analog), then per-subject span triples (the enrollment
+    analog; `periods` is the optional curated/loyalty override), then
+    sameAs links.
 
     The canonicalization mapping is identity for every page outside a
     near-dup component; the emitters' coalesce(canon_url, url) already
@@ -174,5 +235,6 @@ def all_triples(
         emit_page_triples(pages, sparse)
         .unionByName(emit_entity_triples(qualified, sparse))
         .unionByName(emit_measurement_triples(candidates, sparse))
+        .unionByName(emit_span_triples(pages, sparse, periods))
         .unionByName(emit_sameas_triples(sparse))
     )

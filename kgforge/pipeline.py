@@ -47,9 +47,13 @@ def run_pipeline(
     langs: tuple[str, ...] | None = ("en",),
     threshold: float = NEAR_DUP_THRESHOLD,
     run_id: str = "run",
+    periods_path: str | None = None,
 ) -> dict:
     """Full checkpointed run. Re-submission with the same inputs skips
-    finished stages (resume semantics, SURVEY.md §7.6)."""
+    finished stages (resume semantics, SURVEY.md §7.6). `periods_path`
+    is the optional curated-periods table (subj, period_start,
+    period_end) overriding observed spans — the loyalty-cohort input
+    (Oracle/PCORNetLoader_ora.sql:166-177); absent = observed-only."""
     cp = CheckpointManager(spark, out_dir, run_id)
     # Every CLI-settable input participates in stage invalidation:
     # re-running into the same --out with a different dictionary, lang
@@ -57,10 +61,11 @@ def run_pipeline(
     # that would break the 'identical triple set on resume' contract.
     fp_pages = fingerprint_input(pages_path)
     fp_dict = fingerprint_input(dict_path)
+    fp_periods = fingerprint_input(periods_path) if periods_path else "none"
     fp_extract = f"{fp_pages}|langs={','.join(langs) if langs else '*'}"
     fp_mentions = f"{fp_extract}|dict={fp_dict}"
     fp_canon = f"{fp_extract}|thr={threshold}"
-    fp_triples = f"{fp_mentions}|thr={threshold}"
+    fp_triples = f"{fp_mentions}|thr={threshold}|periods={fp_periods}"
 
     # scan splits come from spark.sql.files.maxPartitionBytes (8MB in
     # kgforge.conf) — no repartition shuffle; the parquet scan itself
@@ -98,7 +103,12 @@ def run_pipeline(
         # bounded by tasks x |preds|, and |preds| is small); on a real
         # deployment the sink's write.distribution-mode does this
         # clustering inside the same write.
-        lambda: E.all_triples(extracted, candidates, mapping).distinct(),
+        lambda: E.all_triples(
+            extracted,
+            candidates,
+            mapping,
+            periods=spark.read.parquet(periods_path) if periods_path else None,
+        ).distinct(),
         fp_triples,
         partition_by=["pred"],
     )
@@ -428,6 +438,63 @@ SELECT * FROM (
 """
 
 
+def kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrollment-span emitter evidence (pmnENROLLMENT analog,
+    Oracle/PCORNetLoader_ora.sql:1739-1744): subjects are source
+    domains (a url -> domain mapping plays the patient grouping), the
+    observed span is min/max(warc_ts) over each domain's pages, and a
+    curated-periods table (the loyalty-cohort analog) overrides the
+    span for domains ending in '1' — basis 'A' curated / 'E' observed."""
+    pages = pages_from_documents(spark, sf_dir).filter(F.col("lang") == "en")
+    domain = F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    domain_map = pages.select("url", domain.alias("canon_url"))
+    periods = (
+        domain_map.select(F.col("canon_url").alias("subj"))
+        .distinct()
+        .filter(F.col("subj").endswith("1"))
+        .select(
+            "subj",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("period_start"),
+            F.to_timestamp(F.lit("2024-06-30 00:00:00")).alias("period_end"),
+        )
+    )
+    t = E.emit_span_triples(pages, domain_map, periods)
+    return t.select(
+        "subj", "pred", "obj", "qual_kind", "qual_comparator",
+        "qual_value_num", "src_url",
+    ).orderBy("subj")
+
+
+ORACLE_KG_SPANS = """
+WITH men AS (
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         source,
+         TIMESTAMP '2023-01-01 00:00:00' + to_seconds(doc_id % 31536000) AS ts
+  FROM documents WHERE lang = 'en'
+),
+spans AS (
+  SELECT source AS subj, MIN(ts) AS mn, MAX(ts) AS mx, MIN(url) AS src_url
+  FROM men GROUP BY source
+),
+periods AS (
+  SELECT DISTINCT source AS subj,
+         TIMESTAMP '2024-01-01 00:00:00' AS ps,
+         TIMESTAMP '2024-06-30 00:00:00' AS pe
+  FROM men WHERE source LIKE '%1'
+)
+SELECT s.subj, 'hasSpan' AS pred,
+       strftime(COALESCE(p.ps, s.mn), '%Y-%m-%dT%H:%M:%SZ') || '/' ||
+       strftime(COALESCE(p.pe, s.mx), '%Y-%m-%dT%H:%M:%SZ') AS obj,
+       CASE WHEN p.ps IS NOT NULL THEN 'A' ELSE 'E' END AS qual_kind,
+       'Y' AS qual_comparator,
+       (epoch_us(COALESCE(p.pe, s.mx)) - epoch_us(COALESCE(p.ps, s.mn)))
+         / 86400000000.0 AS qual_value_num,
+       s.src_url
+FROM spans s LEFT JOIN periods p USING (subj)
+ORDER BY s.subj
+"""
+
+
 def kg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i2pReport analog over the emitted triple set — aggregates the
     CACHED triple set instead of re-executing the pipeline plan."""
@@ -449,10 +516,26 @@ def kg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PAGES = """
 pages AS (
   SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
-         text, lang
+         text, lang,
+         TIMESTAMP '2023-01-01 00:00:00' + to_seconds(doc_id % 31536000) AS ts
   FROM documents
 ),
 en_pages AS (SELECT * FROM pages WHERE lang = 'en')
+"""
+
+# per-canonical-subject observation span (the enrollment-emitter branch
+# of all_triples; ISO-8601 interval obj)
+_SQL_SPAN_BRANCH = """
+  SELECT s.subj, 'hasSpan' AS pred,
+         strftime(s.mn, '%Y-%m-%dT%H:%M:%SZ') || '/' ||
+         strftime(s.mx, '%Y-%m-%dT%H:%M:%SZ') AS obj,
+         s.src AS src_url
+  FROM (
+    SELECT c.canon_url AS subj, MIN(p.ts) AS mn, MAX(p.ts) AS mx,
+           MIN(p.url) AS src
+    FROM en_pages p JOIN canon c USING (url)
+    GROUP BY c.canon_url
+  ) s
 """
 
 # post-clean/propagate/dedup/disambiguation winners of DIRTY_DICT_ROWS
@@ -549,6 +632,8 @@ SELECT DISTINCT * FROM (
   UNION ALL
   SELECT c.url AS subj, 'sameAs' AS pred, c.canon_url AS obj, c.url AS src_url
   FROM canon c WHERE c.url <> c.canon_url
+  UNION ALL
+{_SQL_SPAN_BRANCH}
 ) ORDER BY subj, pred, obj, src_url
 """
 
@@ -609,6 +694,8 @@ triples AS (
     UNION ALL
     SELECT c.url AS subj, 'sameAs' AS pred, c.canon_url AS obj, c.url AS src_url
     FROM canon c WHERE c.url <> c.canon_url
+    UNION ALL
+{_SQL_SPAN_BRANCH}
   )
 )
 SELECT pred, COUNT(*) AS n_triples, COUNT(DISTINCT subj) AS n_subjects
@@ -624,6 +711,7 @@ QUERIES = {
     "kg_measurements": kg_measurements,
     "kg_qualifiers": kg_qualifiers,
     "kg_harvest": kg_harvest,
+    "kg_spans": kg_spans,
     "kg_report": kg_report,
 }
 
@@ -636,5 +724,6 @@ ORACLES = {
     "kg_measurements": ORACLE_KG_MEASUREMENTS,
     "kg_qualifiers": ORACLE_KG_QUALIFIERS,
     "kg_harvest": ORACLE_KG_HARVEST,
+    "kg_spans": ORACLE_KG_SPANS,
     "kg_report": ORACLE_KG_REPORT,
 }

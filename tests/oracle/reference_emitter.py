@@ -153,9 +153,17 @@ def emit_triples(
     alias_to = {r.alias: (r.canonical_id, r.pred) for r in d.itertuples()}
     mapping = canon_mapping(p)
     triples: set[tuple] = set()
+    spans: dict[str, list] = {}
     for r in p.itertuples():
         subj = mapping.get(r.url, r.url)
         triples.add((subj, "hasLang", r.lang, r.url))
+        e = spans.get(subj)
+        if e is None:
+            spans[subj] = [r.warc_ts, r.warc_ts, r.url]
+        else:
+            e[0] = min(e[0], r.warc_ts)
+            e[1] = max(e[1], r.warc_ts)
+            e[2] = min(e[2], r.url)
         if subj != r.url:
             triples.add((r.url, "sameAs", subj, r.url))
         for m in find_mentions(r.text, set(alias_to)):
@@ -169,6 +177,13 @@ def emit_triples(
                 continue
             cid, pred = alias_to[m["surface"]]
             triples.add((subj, pred, cid, r.url))
+    # observed per-subject span (enrollment analog; the pipeline's
+    # curated-periods override is pytest-covered separately)
+    fmt = "%Y-%m-%dT%H:%M:%SZ"
+    for subj, (mn, mx, src) in spans.items():
+        triples.add(
+            (subj, "hasSpan", mn.strftime(fmt) + "/" + mx.strftime(fmt), src)
+        )
     return triples
 
 

@@ -407,3 +407,50 @@ def test_write_triples_publish_paths(spark, tmp_path):
     if not have_iceberg(spark):
         with _pytest.raises(RuntimeError, match="Iceberg"):
             write_triples(df, "cat.db.triples")
+
+
+def test_span_emitter_curated_override_and_observed_fallback(spark):
+    """emit_span_triples: the curated-periods row overrides the observed
+    min/max span (basis 'A'); subjects without a curated row keep the
+    observed span (basis 'E') — the loyalty-cohort left-join semantics
+    of Oracle/PCORNetLoader_ora.sql:1739-1744 with the empty-view
+    fallback (:166-177) as periods=None."""
+    from kgforge.emit import emit_span_triples
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "2023-01-05 00:00:00"),
+            ("u2", "2023-02-01 00:00:00"),
+            ("u3", "2023-03-01 12:00:00"),
+        ],
+        "url string, ts string",
+    ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts")
+    # u2 canonicalizes into u1's subject
+    mapping = spark.createDataFrame(
+        [("u2", "u1")], "url string, canon_url string"
+    )
+    periods = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "2024-03-01 00:00:00")],
+        "subj string, ps string, pe string",
+    ).selectExpr(
+        "subj",
+        "CAST(ps AS TIMESTAMP) AS period_start",
+        "CAST(pe AS TIMESTAMP) AS period_end",
+    )
+    rows = {
+        r["subj"]: r
+        for r in emit_span_triples(pages, mapping, periods).collect()
+    }
+    assert rows["u1"]["obj"] == "2024-01-01T00:00:00Z/2024-03-01T00:00:00Z"
+    assert rows["u1"]["qual_kind"] == "A"
+    assert rows["u1"]["qual_value_num"] == 60.0
+    assert rows["u3"]["obj"] == "2023-03-01T12:00:00Z/2023-03-01T12:00:00Z"
+    assert rows["u3"]["qual_kind"] == "E"
+    assert rows["u3"]["src_url"] == "u3"
+    # no periods table at all -> observed spans, u1 groups u1+u2
+    obs = {
+        r["subj"]: r for r in emit_span_triples(pages, mapping).collect()
+    }
+    assert obs["u1"]["obj"] == "2023-01-05T00:00:00Z/2023-02-01T00:00:00Z"
+    assert obs["u1"]["qual_kind"] == "E"
+    assert obs["u1"]["src_url"] == "u1"
