@@ -38,7 +38,7 @@ def run_level(cpus: int, fixture: str) -> dict:
         proc = subprocess.run(
             [sys.executable, str(REPO / "BENCH" / "run_one.py"),
              "--cpus", str(cpus), "--fixture", fixture, "--out", out],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=10800,
         )
         if proc.returncode != 0:
             raise RuntimeError(f"run_one cpus={cpus} failed:\n{proc.stderr[-2000:]}")
