@@ -621,20 +621,28 @@ WITH RECURSIVE {_SQL_PAGES}, {_SQL_CANON}
 SELECT url, canon_url FROM canon ORDER BY url
 """
 
-ORACLE_KG_TRIPLES = f"""
-WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON}
-SELECT DISTINCT * FROM (
-  SELECT c.canon_url AS subj, 'hasLang' AS pred, p.lang AS obj, p.url AS src_url
-  FROM en_pages p JOIN canon c USING (url)
-  UNION ALL
-  SELECT c.canon_url AS subj, d.pred AS pred, d.canonical_id AS obj, m.url AS src_url
-  FROM mentions m JOIN dict d USING (surface) JOIN canon c ON c.url = m.url
-  UNION ALL
-  SELECT c.url AS subj, 'sameAs' AS pred, c.canon_url AS obj, c.url AS src_url
-  FROM canon c WHERE c.url <> c.canon_url
-  UNION ALL
+# the full emitted assertion set (page/entity/sameAs/span branches) —
+# shared by the kg_triples, kg_report, and kg_dictstats oracles
+_SQL_TRIPLES = f"""
+triples AS (
+  SELECT DISTINCT * FROM (
+    SELECT c.canon_url AS subj, 'hasLang' AS pred, p.lang AS obj, p.url AS src_url
+    FROM en_pages p JOIN canon c USING (url)
+    UNION ALL
+    SELECT c.canon_url AS subj, d.pred AS pred, d.canonical_id AS obj, m.url AS src_url
+    FROM mentions m JOIN dict d USING (surface) JOIN canon c ON c.url = m.url
+    UNION ALL
+    SELECT c.url AS subj, 'sameAs' AS pred, c.canon_url AS obj, c.url AS src_url
+    FROM canon c WHERE c.url <> c.canon_url
+    UNION ALL
 {_SQL_SPAN_BRANCH}
-) ORDER BY subj, pred, obj, src_url
+  )
+)
+"""
+
+ORACLE_KG_TRIPLES = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON}, {_SQL_TRIPLES}
+SELECT * FROM triples ORDER BY subj, pred, obj, src_url
 """
 
 # Relational recomputation of the deterministic measurement suffixes of
@@ -683,24 +691,72 @@ GROUP BY ALL ORDER BY m.url, d.canonical_id
 """
 
 ORACLE_KG_REPORT = f"""
-WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON},
-triples AS (
-  SELECT DISTINCT * FROM (
-    SELECT c.canon_url AS subj, 'hasLang' AS pred, p.lang AS obj, p.url AS src_url
-    FROM en_pages p JOIN canon c USING (url)
-    UNION ALL
-    SELECT c.canon_url AS subj, d.pred AS pred, d.canonical_id AS obj, m.url AS src_url
-    FROM mentions m JOIN dict d USING (surface) JOIN canon c ON c.url = m.url
-    UNION ALL
-    SELECT c.url AS subj, 'sameAs' AS pred, c.canon_url AS obj, c.url AS src_url
-    FROM canon c WHERE c.url <> c.canon_url
-    UNION ALL
-{_SQL_SPAN_BRANCH}
-  )
-)
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON}, {_SQL_TRIPLES}
 SELECT pred, COUNT(*) AS n_triples, COUNT(DISTINCT subj) AS n_subjects
 FROM triples GROUP BY pred ORDER BY pred
 """
+
+def kg_dictstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descriptive-statistics validation corpus over the emitted triple
+    set — the ETL_dict_queries analog
+    (ADD_SCILHS_100/ETL_dict_queries-MSSQL.sql:18-390: per-table counts,
+    categorical breakdowns with percentages, section-keyed rows piped to
+    the Annotated Data Dictionary). One stacked stats frame: the pred
+    breakdown (the Sex/enc_type pattern, :23-32,:52-65) with
+    pct-of-total via a window (no driver-side total), plus the Totals
+    section (distinct subjects/sources — the Unique PATIDs rows)."""
+    from pyspark.sql.window import Window
+
+    t = _triples(spark, sf_dir)
+    wall = Window.partitionBy()
+    breakdown = (
+        t.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("Triples").alias("section"),
+            F.lit("pred").alias("item"),
+            F.col("pred").alias("label"),
+            F.col("n"),
+            F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(wall), 1).alias("pct"),
+        )
+    )
+    totals = (
+        t.agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("src_url").alias("n_sources"),
+        )
+        .selectExpr(
+            "stack(3, 'n_triples', n_triples, 'n_subjects', n_subjects, "
+            "'n_sources', n_sources) AS (item, n)"
+        )
+        .select(
+            F.lit("Totals").alias("section"),
+            "item",
+            F.lit("ALL").alias("label"),
+            "n",
+            F.lit(None).cast("double").alias("pct"),
+        )
+    )
+    return breakdown.unionByName(totals).orderBy("section", "item", "label")
+
+
+ORACLE_KG_DICTSTATS = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON}, {_SQL_TRIPLES}
+SELECT * FROM (
+  SELECT 'Triples' AS section, 'pred' AS item, pred AS label,
+         COUNT(*) AS n,
+         ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 1) AS pct
+  FROM triples GROUP BY pred
+  UNION ALL
+  SELECT 'Totals', 'n_triples', 'ALL', COUNT(*), CAST(NULL AS DOUBLE) FROM triples
+  UNION ALL
+  SELECT 'Totals', 'n_subjects', 'ALL', COUNT(DISTINCT subj), NULL FROM triples
+  UNION ALL
+  SELECT 'Totals', 'n_sources', 'ALL', COUNT(DISTINCT src_url), NULL FROM triples
+) ORDER BY section, item, label
+"""
+
 
 QUERIES = {
     "kg_extract": kg_extract,
@@ -712,6 +768,7 @@ QUERIES = {
     "kg_qualifiers": kg_qualifiers,
     "kg_harvest": kg_harvest,
     "kg_spans": kg_spans,
+    "kg_dictstats": kg_dictstats,
     "kg_report": kg_report,
 }
 
@@ -725,5 +782,6 @@ ORACLES = {
     "kg_qualifiers": ORACLE_KG_QUALIFIERS,
     "kg_harvest": ORACLE_KG_HARVEST,
     "kg_spans": ORACLE_KG_SPANS,
+    "kg_dictstats": ORACLE_KG_DICTSTATS,
     "kg_report": ORACLE_KG_REPORT,
 }

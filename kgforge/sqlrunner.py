@@ -76,6 +76,47 @@ def check_statement(stmt: str) -> None:
             raise ValueError(f"Illegal token in query: {t}")
 
 
+def keyed_results(results: list[dict]) -> dict[str, str]:
+    """Flatten result sets into the Annotated-Data-Dictionary key paths
+    (the behavior of ADD_SCILHS_100/query.py:166-215, re-expressed):
+    every row leads with a SECTION column; short rows (< 4 columns) key
+    remaining columns as 'Section.Col'; wider rows fold the first data
+    column's name AND value into the path ('Section.Col1.Val1.ColN').
+    All values stringified — the spreadsheet cells are text.
+
+    >>> keyed_results([{"columns": ["SECTION", "Unique PATIDs"],
+    ...                 "rows": [{"SECTION": "Demographics",
+    ...                           "Unique PATIDs": 726}]}])
+    {'Demographics.Unique PATIDs': '726'}
+    >>> r = keyed_results([{"columns": ["SECTION", "Sex", "Count", "Percent"],
+    ...      "rows": [{"SECTION": "Demographics", "Sex": "F",
+    ...                "Count": 377, "Percent": 52},
+    ...               {"SECTION": "Demographics", "Sex": "M",
+    ...                "Count": 346, "Percent": 48}]}])
+    >>> r["Demographics.Sex.M.Count"], r["Demographics.Sex.F.Percent"]
+    ('346', '52')
+    >>> keyed_results([{"columns": ["nope"], "rows": [{"nope": 1}]}])
+    Traceback (most recent call last):
+    ...
+    ValueError: first column must be SECTION, got 'nope'
+    """
+    out: dict[str, str] = {}
+    for res in results:
+        cols = res["columns"]
+        if not cols or cols[0].upper() != "SECTION":
+            raise ValueError(f"first column must be SECTION, got {cols[0]!r}")
+        for row in res["rows"]:
+            section = str(row[cols[0]])
+            if len(cols) < 4:
+                start = 1
+            else:
+                section = ".".join([section, cols[1], str(row[cols[1]])])
+                start = 2
+            for c in cols[start:]:
+                out[".".join([section, c])] = str(row[c])
+    return out
+
+
 def run_queries(spark, sql_text: str, limit: int | None = None) -> list[dict]:
     """Validate then run every statement; returns a list of
     {sql, columns, rows} dicts (the populate_spreadsheet 'keyed results'

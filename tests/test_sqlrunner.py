@@ -70,3 +70,31 @@ def test_write_attempt_never_reaches_engine(spark, sf01):
     sq.register_views(spark, sf01)
     with pytest.raises(ValueError, match="Illegal token"):
         sq.run_queries(spark, "SELECT 1; DELETE FROM orders")
+
+
+def test_keyed_results_spreadsheet_flow(spark, sf01):
+    """The populate_spreadsheet flow end-to-end: register the emitted
+    triple set as a view, run a SECTION-keyed validation corpus through
+    the guarded runner, flatten with keyed_results into Annotated-Data-
+    Dictionary key paths (ADD_SCILHS_100/query.py:166-215 semantics)."""
+    from kgforge.pipeline import _triples
+
+    _triples(spark, sf01).createOrReplaceTempView("triples_v")
+    corpus = """
+    SELECT 'Triples' AS SECTION, COUNT(*) AS `Total Count`,
+           COUNT(DISTINCT subj) AS `Unique Subjects` FROM triples_v;
+    SELECT 'Triples' AS SECTION, pred AS Pred, COUNT(*) AS Count,
+           ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 1) AS Percent
+    FROM triples_v GROUP BY pred;
+    """
+    flat = sq.keyed_results(sq.run_queries(spark, corpus))
+    assert int(flat["Triples.Total Count"]) > 0
+    assert int(flat["Triples.Unique Subjects"]) > 0
+    # wide rows fold the first data column's value into the path
+    assert "Triples.Pred.hasLang.Count" in flat
+    assert "Triples.Pred.hasSpan.Percent" in flat
+    pcts = [
+        float(v) for k, v in flat.items()
+        if k.startswith("Triples.Pred.") and k.endswith(".Percent")
+    ]
+    assert abs(sum(pcts) - 100.0) < 1.0
