@@ -241,6 +241,76 @@ def run_stateful_sessionize(
     return [final[u] for u in sorted(final)]
 
 
+def run_stream_kg_parity(
+    spark: SparkSession,
+    pages_dir: str,
+    dict_df: DataFrame,
+    path_glob: str = "*.parquet",
+    max_files_per_trigger: int | None = None,
+) -> tuple[list, list]:
+    """The streaming twin of the flagship: pages through the IDENTICAL
+    extract -> detect_mentions -> link_mentions plan as batch. Every
+    stream-side operator is a stateless Arrow map or a broadcast join
+    against static metadata (the linker's window rank runs
+    DICTIONARY-side), so the batch logical plan streams unchanged in
+    append mode with no state store — the shape a Kafka/Iceberg-CDC
+    ingest of new crawl pages would use, emitting candidate assertions
+    incrementally. Canonicalization is deliberately absent: connected
+    components needs the full corpus and stays a batch/compaction stage
+    (SURVEY.md §7.4).
+
+    Returns (stream_rows, batch_rows) — sorted candidate tuples the
+    parity pytest asserts equal, single- and multi-micro-batch."""
+    from kgforge import ontology as O
+    from kgforge.extract import extract_pages
+    from kgforge.link import link_mentions
+    from kgforge.mentions import detect_mentions
+    from kgforge.sources import PAGES_SCHEMA
+
+    dic = O.propagate_hierarchy(O.clean_dictionary(dict_df))
+    aliases = sorted(
+        {
+            r["alias"]
+            for r in O.linker_dictionary(dic).select("alias").distinct().collect()
+        }
+    )
+
+    def stages(pages: DataFrame) -> DataFrame:
+        cand = link_mentions(
+            detect_mentions(extract_pages(pages, ("en",)), aliases), dic
+        )
+        return cand.select(
+            "url", "mention_id", "surface", "kind", "canonical_id", "pred"
+        )
+
+    reader = spark.readStream.schema(PAGES_SCHEMA).option(
+        "pathGlobFilter", path_glob
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        stages(reader.parquet(pages_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st_kg_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM st_kg_out").collect()
+        )
+    finally:
+        q.stop()
+    batch = (
+        spark.read.schema(PAGES_SCHEMA)
+        .option("pathGlobFilter", path_glob)
+        .parquet(pages_dir)
+    )
+    batch_rows = sorted(tuple(r) for r in stages(batch).collect())
+    return stream_rows, batch_rows
+
+
 QUERIES = {
     "st_tumbling_agg": st_tumbling_agg,
     "st_sessionize": st_sessionize,

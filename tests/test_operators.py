@@ -454,3 +454,36 @@ def test_span_emitter_curated_override_and_observed_fallback(spark):
     assert obs["u1"]["obj"] == "2023-01-05T00:00:00Z/2023-02-01T00:00:00Z"
     assert obs["u1"]["qual_kind"] == "E"
     assert obs["u1"]["src_url"] == "u1"
+
+
+def test_stream_kg_pipeline_parity(spark, fixture_dir, tmp_path):
+    """The flagship's streamable prefix (extract -> mentions -> broadcast
+    link) produces identical candidates through readStream as through
+    batch — single- and multi-micro-batch (new crawl files arriving
+    incrementally)."""
+    import shutil
+    import time as _time
+
+    from kgforge.streaming import run_stream_kg_parity
+
+    dict_df = spark.read.parquet(f"{fixture_dir}/concept_dict.parquet")
+
+    # split the fixture pages into two files so maxFilesPerTrigger=1
+    # genuinely exercises multi-batch append
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    stream_dir = tmp_path / "kg_stream"
+    stream_dir.mkdir()
+    for i, part in enumerate(
+        (pages.filter("xxhash64(url) % 2 = 0"), pages.filter("xxhash64(url) % 2 != 0"))
+    ):
+        tmp = tmp_path / f"half{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        shutil.copy(next(tmp.glob("part-*.parquet")), stream_dir / f"pages{i}.parquet")
+        _time.sleep(1.1)  # file source orders batches by mod time
+
+    s, b = run_stream_kg_parity(
+        spark, str(stream_dir), dict_df,
+        path_glob="pages*.parquet", max_files_per_trigger=1,
+    )
+    assert len(b) > 0
+    assert s == b
