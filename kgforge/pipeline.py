@@ -703,8 +703,11 @@ def kg_dictstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     categorical breakdowns with percentages, section-keyed rows piped to
     the Annotated Data Dictionary). One stacked stats frame: the pred
     breakdown (the Sex/enc_type pattern, :23-32,:52-65) with
-    pct-of-total via a window (no driver-side total), plus the Totals
-    section (distinct subjects/sources — the Unique PATIDs rows)."""
+    pct-of-total via a window (no driver-side total), the Totals
+    section (distinct subjects/sources — the Unique PATIDs rows), and
+    the Measurements null-rate row (the vitals null-rate pattern,
+    :315-375: values suppressed by the >1e7 value-domain guard count as
+    nulls)."""
     from pyspark.sql.window import Window
 
     t = _triples(spark, sf_dir)
@@ -738,11 +741,32 @@ def kg_dictstats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("pct"),
         )
     )
-    return breakdown.unionByName(totals).orderBy("section", "item", "label")
+    numeric = _measure_candidates(spark, sf_dir).filter(F.col("kind") == "numeric")
+    nullrate = (
+        numeric.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("value_num").isNull(), 1).otherwise(0)
+            ).alias("n_null"),
+        )
+        .select(
+            F.lit("Measurements").alias("section"),
+            F.lit("value_null_rate").alias("item"),
+            F.lit("ALL").alias("label"),
+            F.col("n_null").cast("long").alias("n"),
+            F.round(F.lit(100.0) * F.col("n_null") / F.col("n_total"), 1).alias("pct"),
+        )
+    )
+    return (
+        breakdown.unionByName(totals)
+        .unionByName(nullrate)
+        .orderBy("section", "item", "label")
+    )
 
 
 ORACLE_KG_DICTSTATS = f"""
-WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON}, {_SQL_TRIPLES}
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON}, {_SQL_TRIPLES},
+{_SQL_MEAS}
 SELECT * FROM (
   SELECT 'Triples' AS section, 'pred' AS item, pred AS label,
          COUNT(*) AS n,
@@ -754,6 +778,11 @@ SELECT * FROM (
   SELECT 'Totals', 'n_subjects', 'ALL', COUNT(DISTINCT subj), NULL FROM triples
   UNION ALL
   SELECT 'Totals', 'n_sources', 'ALL', COUNT(DISTINCT src_url), NULL FROM triples
+  UNION ALL
+  SELECT 'Measurements', 'value_null_rate', 'ALL',
+         COUNT(*) FILTER (WHERE value_num IS NULL),
+         ROUND(100.0 * COUNT(*) FILTER (WHERE value_num IS NULL) / COUNT(*), 1)
+  FROM meas
 ) ORDER BY section, item, label
 """
 
