@@ -47,7 +47,21 @@ def main(argv: list[str] | None = None) -> int:
     synthp.add_argument("--pages", type=int, default=1000)
     synthp.add_argument("--seed", type=int, default=42)
 
+    migp = sub.add_parser(
+        "migrate", help="bring a triple table to the current schema version"
+    )
+    migp.add_argument("--path", required=True, help="triple table parquet dir")
+    migp.add_argument("--cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "migrate":
+        from kgforge.conf import get_spark
+        from kgforge.migrate import migrate_triples
+
+        spark = get_spark("kgforge-migrate", cpus=args.cpus)
+        print(json.dumps(migrate_triples(spark, args.path)))
+        return 0
 
     if args.cmd == "synth":
         from kgforge.synth import write_fixture
