@@ -173,3 +173,74 @@ def test_triples_partitioned_by_pred(run_out):
     out, _ = run_out
     subdirs = [d for d in os.listdir(f"{out}/triples") if d.startswith("pred=")]
     assert len(subdirs) >= 3  # hasLang, sameAs, at least one concept pred
+
+
+def test_periods_override_end_to_end_and_invalidation(
+    spark, fixture_dir, tmp_path_factory
+):
+    """run_pipeline with a curated-periods table: the curated subject's
+    hasSpan triple carries the curated interval (basis 'A'), others stay
+    observed ('E'); and changing --periods invalidates ONLY the triples
+    stage on re-run into the same --out (the fingerprint contract for
+    the new CLI input)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("kgf_periods"))
+    # pick a real subject: any en page url (identity canon likely at
+    # fixture scale; pick one that canonicalizes to itself)
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    subj = pages.filter("lang = 'en'").orderBy("url").first()["url"]
+    p1 = str(tmp_path_factory.mktemp("periods1") / "periods.parquet")
+    spark.createDataFrame(
+        [(subj, "2024-01-01 00:00:00", "2024-03-01 00:00:00")],
+        "subj string, ps string, pe string",
+    ).selectExpr(
+        "subj",
+        "CAST(ps AS TIMESTAMP) AS period_start",
+        "CAST(pe AS TIMESTAMP) AS period_end",
+    ).write.parquet(p1)
+
+    run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+        periods_path=p1,
+    )
+    t = spark.read.parquet(f"{out}/triples")
+    spans = {
+        r["subj"]: r
+        for r in t.filter(F.col("pred") == "hasSpan").collect()
+    }
+    if subj in spans:  # subject survives canon as its own representative
+        assert spans[subj]["qual_kind"] == "A"
+        assert spans[subj]["obj"].startswith("2024-01-01T00:00:00Z/")
+    others = [r for s, r in spans.items() if s != subj]
+    assert others and all(r["qual_kind"] == "E" for r in others)
+
+    # different periods table -> triples stage recomputes, earlier stages skip
+    p2 = str(tmp_path_factory.mktemp("periods2") / "periods.parquet")
+    spark.createDataFrame(
+        [(subj, "2025-01-01 00:00:00", "2025-02-01 00:00:00")],
+        "subj string, ps string, pe string",
+    ).selectExpr(
+        "subj",
+        "CAST(ps AS TIMESTAMP) AS period_start",
+        "CAST(pe AS TIMESTAMP) AS period_end",
+    ).write.parquet(p2)
+    info2 = run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+        periods_path=p2,
+    )
+    skipped = {s["stage"]: s["skipped"] for s in info2["stages"]}
+    assert skipped["extracted"] and skipped["mentions"] and skipped["canon_mapping"]
+    assert not skipped["triples"]
+    if subj in spans:
+        t2 = spark.read.parquet(f"{out}/triples")
+        new = t2.filter(
+            (F.col("pred") == "hasSpan") & (F.col("subj") == subj)
+        ).first()
+        assert new["obj"].startswith("2025-01-01T00:00:00Z/")
