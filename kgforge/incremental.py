@@ -1,0 +1,297 @@
+"""Incremental ingestion — merge a new crawl batch into an existing
+run_pipeline output WITHOUT a full refresh.
+
+The reference is full-refresh by design (`pcornetclear` then reload,
+MSSQL/run.sql:12-79); at 10^12 documents a daily crawl increment cannot
+re-run the corpus, so this module adds the merge-on-read discipline an
+Iceberg deployment would use:
+
+- New pages run the normal extract -> mentions -> link stages (batch
+  scale only, never the base corpus).
+- Canonicalization delta: the base corpus contributes only its stored
+  MinHash SIGNATURES (a sidecar table built once, appended per batch) —
+  new-vs-base candidate pairs come from an LSH-block equi-join of the
+  batch's blocks against the base's, capped+counted per block exactly
+  like the full run; exact-Jaccard verification reads base TEXT only
+  for the few candidate urls (left-semi pruned scan of the stored
+  `extracted` stage).
+- Representative STABILITY: a new page near-duplicating a base page
+  adopts the base component's canonical subject — base triples are
+  never re-keyed. A batch component that would bridge TWO existing base
+  components is counted (`deferred_base_merges`) and keeps the min
+  anchor for its own rows; re-keying the base is deferred to compact()
+  / the next full run — the same deferral Iceberg compaction uses.
+- Span rows merge with the stored per-subject span arithmetically:
+  ISO-8601 UTC strings compare lexicographically, so the merged
+  interval is string min/max — no parsing. Curated ('A'-basis) spans
+  are never overridden by observed increments.
+- Increments land under out_dir/increments/batch-NNNNN/triples;
+  read_triples() presents base + increments with span supersedence
+  (merge-on-read); compact() materializes that view as the new base
+  (compaction) and clears increments.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kgforge import canon as C
+from kgforge import emit as E
+from kgforge import ontology as O
+from kgforge.conf import NEAR_DUP_THRESHOLD
+from kgforge.link import attach_qualifiers, link_mentions
+from kgforge.mentions import detect_mentions
+from kgforge.extract import extract_pages
+
+_BATCH_RE = re.compile(r"^batch-(\d{5})$")
+
+
+def _increment_dirs(out_dir: str) -> list[str]:
+    root = os.path.join(out_dir, "increments")
+    if not os.path.isdir(root):
+        return []
+    return sorted(d for d in os.listdir(root) if _BATCH_RE.match(d))
+
+
+def _next_batch(out_dir: str) -> str:
+    dirs = _increment_dirs(out_dir)
+    n = int(_BATCH_RE.match(dirs[-1]).group(1)) + 1 if dirs else 1
+    return f"batch-{n:05d}"
+
+
+def _ensure_signature_sidecar(spark: SparkSession, out_dir: str) -> str:
+    """signatures/(url, sig array<long>) — built once from the stored
+    extracted stage, appended per batch. The ONLY base-corpus-wide work
+    incremental ever does, and only on the first increment."""
+    sig_path = os.path.join(out_dir, "signatures")
+    if not os.path.isdir(sig_path):
+        base_ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+        C.minhash_signatures(base_ext, "text", "url").write.parquet(sig_path)
+    return sig_path
+
+
+def _capped_block_join(
+    new_blocks: DataFrame, base_blocks: DataFrame, max_block: int
+) -> tuple[DataFrame, DataFrame]:
+    """(new url a) x (base url b) pairs sharing an LSH block, hub blocks
+    capped AND counted on both sides (no-silent-caps, SURVEY.md §7.5)."""
+    sn = new_blocks.groupBy("bk").agg(F.count(F.lit(1)).alias("n_new"))
+    sb = base_blocks.groupBy("bk").agg(F.count(F.lit(1)).alias("n_base"))
+    sizes = sn.join(sb, "bk")  # only blocks present on BOTH sides matter
+    keep = sizes.filter(
+        (F.col("n_new") <= max_block) & (F.col("n_base") <= max_block)
+    ).select("bk")
+    dropped = sizes.filter(
+        (F.col("n_new") > max_block) | (F.col("n_base") > max_block)
+    ).select(
+        F.lit("incr_block_dropped").alias("metric"),
+        F.col("bk").cast("string").alias("key"),
+        (F.col("n_new") * F.col("n_base")).alias("value"),
+    )
+    pairs = (
+        new_blocks.join(F.broadcast(keep), "bk")
+        .select("bk", F.col("url").alias("a"))
+        .join(base_blocks.select("bk", F.col("url").alias("b")), "bk")
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs, dropped
+
+
+def incremental_update(
+    spark: SparkSession,
+    out_dir: str,
+    new_pages_path: str,
+    dict_path: str,
+    langs: tuple[str, ...] | None = ("en",),
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> dict:
+    base_mapping = spark.read.parquet(os.path.join(out_dir, "canon_mapping"))
+    base_ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    sig_path = _ensure_signature_sidecar(spark, out_dir)
+    base_sigs = spark.read.parquet(sig_path)
+
+    dic = O.propagate_hierarchy(O.clean_dictionary(spark.read.parquet(dict_path)))
+    aliases = [
+        r["alias"]
+        for r in O.linker_dictionary(dic).select("alias").distinct().collect()
+    ]
+
+    ext = extract_pages(spark.read.parquet(new_pages_path), langs).cache()
+    cands = link_mentions(detect_mentions(ext, aliases), dic).cache()
+
+    # --- canonicalization delta -----------------------------------------
+    new_sigs = C.minhash_signatures(ext, "text", "url").localCheckpoint(eager=True)
+    new_blocks = C.lsh_blocks(new_sigs, id_col="url")
+    base_blocks = C.lsh_blocks(base_sigs, id_col="url")
+    nb_pairs, nb_dropped = _capped_block_join(
+        new_blocks, base_blocks, C.MAX_LSH_BLOCK
+    )
+    nn_pairs, nn_metrics = C.candidate_pairs(new_blocks, id_col="url")
+
+    # exact verification: batch text + ONLY the base urls that appear in
+    # a candidate pair (left-semi pruned scan of the stored stage)
+    base_cand_urls = nb_pairs.select(F.col("b").alias("url")).distinct()
+    texts = ext.select("url", "text").unionByName(
+        base_ext.join(base_cand_urls, "url", "left_semi").select("url", "text")
+    )
+    v_nb = C.verify_pairs_jaccard(nb_pairs, texts, threshold).cache()
+    v_nn = C.verify_pairs_jaccard(nn_pairs, texts, threshold)
+
+    # anchor: new url -> min base CANONICAL subject it verified against
+    anchors = (
+        v_nb.join(
+            base_mapping.select(F.col("url").alias("b"), "canon_url"), "b"
+        )
+        .groupBy("a")
+        .agg(
+            F.min("canon_url").alias("anchor"),
+            F.countDistinct("canon_url").alias("n_anchors"),
+        )
+    )
+    deferred = anchors.filter(F.col("n_anchors") > 1).count()
+
+    # components among the batch, then adopt the min anchor per component
+    comps = C.connected_components(
+        v_nn.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    node_comp = (
+        ext.select("url")
+        .join(
+            F.broadcast(comps.withColumnRenamed("node", "url")), "url", "left"
+        )
+        .select("url", F.coalesce("comp", F.col("url")).alias("comp"))
+    )
+    comp_anchor = (
+        node_comp.join(anchors.withColumnRenamed("a", "url"), "url", "left")
+        .groupBy("comp")
+        .agg(F.min("anchor").alias("comp_anchor"), F.min("url").alias("comp_min"))
+    )
+    mapping_new = (
+        node_comp.join(F.broadcast(comp_anchor), "comp")
+        .select(
+            "url",
+            F.coalesce("comp_anchor", "comp_min").alias("canon_url"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # --- emission --------------------------------------------------------
+    sparse = mapping_new.filter(F.col("url") != F.col("canon_url"))
+    qualified = attach_qualifiers(cands)
+    delta = (
+        E.emit_page_triples(ext, sparse)
+        .unionByName(E.emit_entity_triples(qualified, sparse))
+        .unionByName(E.emit_measurement_triples(cands, sparse))
+        .unionByName(E.emit_sameas_triples(sparse))
+        .distinct()
+    )
+
+    # merged span rows: stored observed span (if any) widened by the
+    # batch's per-subject min/max — lexicographic min/max on the ISO obj
+    # halves; curated ('A') stored spans are never overridden
+    new_spans = E.emit_span_triples(ext, sparse).select(
+        "subj",
+        F.split("obj", "/").getItem(0).alias("n_start"),
+        F.split("obj", "/").getItem(1).alias("n_end"),
+        "src_url",
+    )
+    stored = read_triples(spark, out_dir).filter(F.col("pred") == "hasSpan")
+    stored_spans = stored.select(
+        "subj",
+        F.split("obj", "/").getItem(0).alias("s_start"),
+        F.split("obj", "/").getItem(1).alias("s_end"),
+        F.col("qual_kind").alias("s_basis"),
+        F.col("src_url").alias("s_src"),
+    )
+    m = new_spans.join(stored_spans, "subj", "left").filter(
+        (F.col("s_basis").isNull()) | (F.col("s_basis") == "E")
+    )
+    start = F.least("n_start", "s_start")  # least/greatest skip NULLs
+    end = F.greatest("n_end", "s_end")
+    obj = F.concat_ws("/", start, end)
+    span_rows = m.select(
+        F.xxhash64(F.col("subj"), F.lit("hasSpan"), obj).alias("triple_id"),
+        "subj",
+        F.lit("hasSpan").alias("pred"),
+        obj.alias("obj"),
+        F.lit("E").alias("qual_kind"),
+        F.lit("Y").alias("qual_comparator"),
+        (
+            (
+                F.unix_micros(F.to_timestamp(end, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+                - F.unix_micros(F.to_timestamp(start, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+            )
+            / 86400000000.0
+        ).alias("qual_value_num"),
+        F.lit(None).cast("string").alias("qual_lang"),
+        F.lit(None).cast("string").alias("raw_surface"),
+        F.least(F.col("src_url"), F.col("s_src")).alias("src_url"),
+        F.to_timestamp(end, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("src_ts"),
+    )
+    delta = delta.unionByName(span_rows)
+
+    batch = _next_batch(out_dir)
+    inc_dir = os.path.join(out_dir, "increments", batch)
+    delta.write.mode("overwrite").partitionBy("pred").parquet(
+        os.path.join(inc_dir, "triples")
+    )
+    new_sigs.write.mode("append").parquet(sig_path)
+    n_delta = spark.read.parquet(os.path.join(inc_dir, "triples")).count()
+    n_dropped = nb_dropped.count() + nn_metrics.count()
+    return {
+        "batch": batch,
+        "n_new_pages": ext.count(),
+        "n_delta_triples": n_delta,
+        "n_new_base_edges": v_nb.count(),
+        "deferred_base_merges": deferred,
+        "n_capped_blocks": n_dropped,
+    }
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read view: base triples + all increments, with hasSpan
+    rows superseded by the LATEST batch that touched each subject
+    (increments emit the fully-merged span, so latest-wins is exact).
+    All other rows are set-union (triples are identity-keyed facts)."""
+    t = spark.read.parquet(os.path.join(out_dir, "triples")).withColumn(
+        "_batch", F.lit(0)
+    )
+    for i, d in enumerate(_increment_dirs(out_dir), start=1):
+        inc = spark.read.parquet(
+            os.path.join(out_dir, "increments", d, "triples")
+        ).withColumn("_batch", F.lit(i))
+        t = t.unionByName(inc)
+    spans = t.filter(F.col("pred") == "hasSpan")
+    w = Window.partitionBy("subj").orderBy(F.desc("_batch"))
+    latest = (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rest = t.filter(F.col("pred") != "hasSpan").dropDuplicates(
+        ["subj", "pred", "obj", "src_url"]
+    )
+    return rest.unionByName(latest).drop("_batch")
+
+
+def compact(spark: SparkSession, out_dir: str) -> dict:
+    """Materialize the merge-on-read view as the new base triple table
+    and clear increments — the Iceberg rewrite/compaction analog."""
+    import shutil
+
+    merged = read_triples(spark, out_dir)
+    tmp = os.path.join(out_dir, "triples._compacting")
+    merged.write.mode("overwrite").partitionBy("pred").parquet(tmp)
+    old = os.path.join(out_dir, "triples._old")
+    os.rename(os.path.join(out_dir, "triples"), old)
+    os.rename(tmp, os.path.join(out_dir, "triples"))
+    shutil.rmtree(old)
+    shutil.rmtree(os.path.join(out_dir, "increments"), ignore_errors=True)
+    n = spark.read.parquet(os.path.join(out_dir, "triples")).count()
+    return {"n_triples": n, "compacted": True}

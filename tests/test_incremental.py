@@ -1,0 +1,148 @@
+"""Incremental-ingestion tests: representative stability, span
+merge-on-read, batch-internal dedup, compaction equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.incremental import compact, incremental_update, read_triples
+from kgforge.pipeline import run_pipeline
+from kgforge.sources import HTML_PREFIX, HTML_SUFFIX
+
+
+@pytest.fixture(scope="module")
+def base_run(spark, fixture_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kgf_incr_base"))
+    run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+        langs=("en",),
+    )
+    return out
+
+
+def _mk_page(url, ts, text, lang="en"):
+    html = (HTML_PREFIX + text + HTML_SUFFIX).encode("utf-8")
+    return (url, ts, html, text, lang)
+
+
+@pytest.fixture(scope="module")
+def batch_and_info(spark, fixture_dir, base_run, tmp_path_factory):
+    base_pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    b1 = (
+        base_pages.filter("lang = 'en'")
+        .orderBy("url")
+        .select("url", "html", "text")
+        .first()
+    )
+    import datetime as dt
+
+    rows = [
+        # exact clone of a base page -> must adopt the BASE canonical
+        ("https://zzz.example.com/clone0", dt.datetime(2024, 6, 5), bytes(b1["html"]), b1["text"], "en"),
+        # batch-internal near-dup pair (identical text)
+        _mk_page("https://new.example.com/a", dt.datetime(2024, 6, 1),
+                 "spark joins shuffle partitions broadcast window merge sort filter query plan"),
+        _mk_page("https://new.example.com/b", dt.datetime(2024, 6, 2),
+                 "spark joins shuffle partitions broadcast window merge sort filter query plan"),
+        # standalone page with a dictionary mention
+        _mk_page("https://new.example.com/solo", dt.datetime(2024, 6, 3),
+                 "completely unrelated prose about a hash table and nothing else whatsoever today"),
+    ]
+    p = str(tmp_path_factory.mktemp("incr_batch") / "pages.parquet")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(p)
+    info = incremental_update(
+        spark, base_run, p, f"{fixture_dir}/concept_dict.parquet"
+    )
+    return b1, info
+
+
+def test_increment_metrics_and_layout(spark, base_run, batch_and_info):
+    _, info = batch_and_info
+    assert info["batch"] == "batch-00001"
+    assert info["n_new_pages"] == 4
+    assert info["n_delta_triples"] > 0
+    assert info["n_new_base_edges"] >= 1  # the planted clone
+    assert info["deferred_base_merges"] == 0
+
+
+def test_clone_adopts_base_canonical_subject(spark, base_run, batch_and_info):
+    """Representative stability: the new clone's triples are keyed by
+    the BASE component's canonical subject; a sameAs edge records the
+    new url."""
+    b1, _ = batch_and_info
+    base_canon = {
+        r["url"]: r["canon_url"]
+        for r in spark.read.parquet(f"{base_run}/canon_mapping").collect()
+    }[b1["url"]]
+    t = read_triples(spark, base_run)
+    clone = "https://zzz.example.com/clone0"
+    same = t.filter(
+        (F.col("pred") == "sameAs") & (F.col("subj") == clone)
+    ).collect()
+    assert len(same) == 1 and same[0]["obj"] == base_canon
+    langs = t.filter(
+        (F.col("pred") == "hasLang") & (F.col("src_url") == clone)
+    ).collect()
+    assert len(langs) == 1 and langs[0]["subj"] == base_canon
+
+
+def test_batch_internal_neardups_collapse(spark, base_run, batch_and_info):
+    t = read_triples(spark, base_run)
+    a, b = "https://new.example.com/a", "https://new.example.com/b"
+    same = {
+        (r["subj"], r["obj"])
+        for r in t.filter(F.col("pred") == "sameAs")
+        .filter(F.col("subj").isin(a, b) | F.col("obj").isin(a, b))
+        .collect()
+    }
+    assert (b, a) in same  # min-url representative within the batch
+
+
+def test_span_merged_not_duplicated(spark, base_run, batch_and_info):
+    """The affected subject has exactly ONE hasSpan row in the
+    merge-on-read view, its interval widened to the clone's 2024 ts."""
+    b1, _ = batch_and_info
+    base_canon = {
+        r["url"]: r["canon_url"]
+        for r in spark.read.parquet(f"{base_run}/canon_mapping").collect()
+    }[b1["url"]]
+    t = read_triples(spark, base_run)
+    spans = t.filter(
+        (F.col("pred") == "hasSpan") & (F.col("subj") == base_canon)
+    ).collect()
+    assert len(spans) == 1
+    start, end = spans[0]["obj"].split("/")
+    assert start.startswith("2023")  # base observation preserved
+    assert end == "2024-06-05T00:00:00Z"  # widened by the clone
+    assert spans[0]["qual_kind"] == "E"
+    # every subject has at most one span row
+    dup = (
+        t.filter(F.col("pred") == "hasSpan")
+        .groupBy("subj")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+
+def test_compact_preserves_view(spark, base_run, batch_and_info):
+    before = sorted(
+        tuple(r)
+        for r in read_triples(spark, base_run)
+        .select("subj", "pred", "obj", "src_url")
+        .collect()
+    )
+    info = compact(spark, base_run)
+    assert info["compacted"]
+    after = sorted(
+        tuple(r)
+        for r in read_triples(spark, base_run)
+        .select("subj", "pred", "obj", "src_url")
+        .collect()
+    )
+    assert before == after
