@@ -53,7 +53,49 @@ def main(argv: list[str] | None = None) -> int:
     migp.add_argument("--path", required=True, help="triple table parquet dir")
     migp.add_argument("--cpus", type=int, default=None)
 
+    incp = sub.add_parser(
+        "increment",
+        help="merge a new crawl batch into an existing run output "
+        "(no base-corpus rescan; see kgforge.incremental)",
+    )
+    incp.add_argument("--out", required=True, help="existing run output dir")
+    incp.add_argument("--pages", required=True, help="new pages parquet")
+    incp.add_argument("--dict", required=True, dest="dict_path")
+    incp.add_argument("--langs", default="en")
+    incp.add_argument("--threshold", type=float, default=0.8)
+    incp.add_argument("--cpus", type=int, default=None)
+
+    cmpp = sub.add_parser(
+        "compact", help="materialize base + increments as the new base"
+    )
+    cmpp.add_argument("--out", required=True)
+    cmpp.add_argument("--cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "increment":
+        from kgforge.conf import get_spark
+        from kgforge.incremental import incremental_update
+
+        spark = get_spark("kgforge-increment", cpus=args.cpus)
+        langs = None if args.langs == "all" else tuple(args.langs.split(","))
+        print(
+            json.dumps(
+                incremental_update(
+                    spark, args.out, args.pages, args.dict_path,
+                    langs=langs, threshold=args.threshold,
+                )
+            )
+        )
+        return 0
+
+    if args.cmd == "compact":
+        from kgforge.conf import get_spark
+        from kgforge.incremental import compact
+
+        spark = get_spark("kgforge-compact", cpus=args.cpus)
+        print(json.dumps(compact(spark, args.out)))
+        return 0
 
     if args.cmd == "migrate":
         from kgforge.conf import get_spark
