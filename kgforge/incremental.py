@@ -111,8 +111,24 @@ def incremental_update(
     langs: tuple[str, ...] | None = ("en",),
     threshold: float = NEAR_DUP_THRESHOLD,
 ) -> dict:
+    # canonical mapping = base stage PLUS every prior increment's mapping,
+    # so a batch can anchor to pages introduced by earlier batches (their
+    # signatures are already in the sidecar)
     base_mapping = spark.read.parquet(os.path.join(out_dir, "canon_mapping"))
+    for d in _increment_dirs(out_dir):
+        mp = os.path.join(out_dir, "increments", d, "mapping")
+        if os.path.isdir(mp):
+            base_mapping = base_mapping.unionByName(spark.read.parquet(mp))
+    # extracted text likewise: base stage plus prior batches' extracted,
+    # so exact verification can read a prior batch's page text
     base_ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    for d in _increment_dirs(out_dir):
+        ep = os.path.join(out_dir, "increments", d, "extracted")
+        if os.path.isdir(ep):
+            base_ext = base_ext.select("url", "text").unionByName(
+                spark.read.parquet(ep).select("url", "text")
+            )
+    base_ext = base_ext.select("url", "text")
     sig_path = _ensure_signature_sidecar(spark, out_dir)
     base_sigs = spark.read.parquet(sig_path)
 
@@ -241,6 +257,10 @@ def incremental_update(
     delta.write.mode("overwrite").partitionBy("pred").parquet(
         os.path.join(inc_dir, "triples")
     )
+    mapping_new.write.parquet(os.path.join(inc_dir, "mapping"))
+    ext.select("url", "warc_ts", "lang", "text").write.parquet(
+        os.path.join(inc_dir, "extracted")
+    )
     new_sigs.write.mode("append").parquet(sig_path)
     n_delta = spark.read.parquet(os.path.join(inc_dir, "triples")).count()
     n_dropped = nb_dropped.count() + nn_metrics.count()
@@ -282,8 +302,29 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def compact(spark: SparkSession, out_dir: str) -> dict:
     """Materialize the merge-on-read view as the new base triple table
-    and clear increments — the Iceberg rewrite/compaction analog."""
+    and clear increments — the Iceberg rewrite/compaction analog.
+
+    The increments' mapping and extracted outputs fold into the base
+    `canon_mapping` / `extracted` stage dirs first, so FUTURE batches
+    can still anchor to (and exact-verify against) pages that arrived
+    incrementally. After compaction the out_dir serves read_triples and
+    further increments; a fresh full run_pipeline belongs in a new
+    --out (its stage manifests describe the original pages input, not
+    the augmented corpus)."""
     import shutil
+
+    incs = _increment_dirs(out_dir)
+    for d in incs:
+        mp = os.path.join(out_dir, "increments", d, "mapping")
+        if os.path.isdir(mp):
+            spark.read.parquet(mp).write.mode("append").parquet(
+                os.path.join(out_dir, "canon_mapping")
+            )
+        ep = os.path.join(out_dir, "increments", d, "extracted")
+        if os.path.isdir(ep):
+            spark.read.parquet(ep).write.mode("append").parquet(
+                os.path.join(out_dir, "extracted")
+            )
 
     merged = read_triples(spark, out_dir)
     tmp = os.path.join(out_dir, "triples._compacting")
@@ -294,4 +335,4 @@ def compact(spark: SparkSession, out_dir: str) -> dict:
     shutil.rmtree(old)
     shutil.rmtree(os.path.join(out_dir, "increments"), ignore_errors=True)
     n = spark.read.parquet(os.path.join(out_dir, "triples")).count()
-    return {"n_triples": n, "compacted": True}
+    return {"n_triples": n, "compacted": True, "folded_batches": len(incs)}

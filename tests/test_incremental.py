@@ -146,3 +146,34 @@ def test_compact_preserves_view(spark, base_run, batch_and_info):
         .collect()
     )
     assert before == after
+
+
+def test_second_batch_anchors_to_prior_batch_page(
+    spark, fixture_dir, base_run, batch_and_info, tmp_path_factory
+):
+    """Runs after compact: a later batch near-duplicating a page that
+    itself arrived incrementally must anchor to THAT page's canonical
+    subject — the folded mapping/extracted make prior batches part of
+    the base."""
+    solo = "https://new.example.com/solo"
+    solo_text = (
+        "completely unrelated prose about a hash table and nothing else "
+        "whatsoever today"
+    )
+    import datetime as dt
+
+    p = str(tmp_path_factory.mktemp("incr_batch2") / "pages.parquet")
+    spark.createDataFrame(
+        [_mk_page("https://zzz.example.com/clone-solo", dt.datetime(2024, 7, 1), solo_text)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.parquet(p)
+    info = incremental_update(
+        spark, base_run, p, f"{fixture_dir}/concept_dict.parquet"
+    )
+    assert info["n_new_base_edges"] >= 1
+    t = read_triples(spark, base_run)
+    same = t.filter(
+        (F.col("pred") == "sameAs")
+        & (F.col("subj") == "https://zzz.example.com/clone-solo")
+    ).collect()
+    assert len(same) == 1 and same[0]["obj"] == solo
