@@ -25,6 +25,10 @@ Iceberg deployment would use:
   ISO-8601 UTC strings compare lexicographically, so the merged
   interval is string min/max — no parsing. Curated ('A'-basis) spans
   are never overridden by observed increments.
+- Scope: batch urls are NEW pages. A re-crawl of an existing url (same
+  url, newer snapshot) is an upstream concern — version the url by
+  warc_ts before ingestion (url#ts), exactly as a Common-Crawl WARC
+  pipeline keys snapshots; triple provenance keeps src_url + src_ts.
 - Increments land under out_dir/increments/batch-NNNNN/triples;
   read_triples() presents base + increments with span supersedence
   (merge-on-read); compact() materializes that view as the new base
