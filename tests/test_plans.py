@@ -77,3 +77,26 @@ def test_textstats_stays_jvm_side(spark, sf001):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Batched: true" in plan
+
+
+def test_span_emitter_broadcasts_periods(spark):
+    """The curated-periods side of the span emitter is metadata-scale
+    and must broadcast — the corpus-side span aggregate is the only
+    exchange."""
+    from kgforge.emit import emit_span_triples
+
+    pages = spark.createDataFrame(
+        [("u1", "2023-01-01 00:00:00")], "url string, ts string"
+    ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts")
+    mapping = spark.createDataFrame([], "url string, canon_url string")
+    periods = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "2024-02-01 00:00:00")],
+        "subj string, ps string, pe string",
+    ).selectExpr(
+        "subj",
+        "CAST(ps AS TIMESTAMP) AS period_start",
+        "CAST(pe AS TIMESTAMP) AS period_end",
+    )
+    plan = plan_of(emit_span_triples(pages, mapping, periods))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
