@@ -102,14 +102,20 @@ def propagate_hierarchy(
     each round unresolved nodes adopt their climbed ancestor's value,
     localCheckpoint cuts lineage, depth is bounded by tree height.
     """
-    if not force_distributed and dic.count() <= LOCAL_DICT_THRESHOLD:
-        return _propagate_local(dic)
+    if not force_distributed:
+        # ONE take() decides locality AND fetches the rows: a small dict
+        # pays one job instead of count + collect (each tiny job costs
+        # ~0.5-1s of scheduling on a busy session), and a huge dict
+        # stops fetching at the threshold instead of counting every row
+        probe = dic.take(LOCAL_DICT_THRESHOLD + 1)
+        if len(probe) <= LOCAL_DICT_THRESHOLD:
+            return _propagate_local(dic, probe)
     return _propagate_distributed(dic, max_depth)
 
 
-def _propagate_local(dic: DataFrame) -> DataFrame:
+def _propagate_local(dic: DataFrame, collected=None) -> DataFrame:
     spark = dic.sparkSession
-    rows = [r.asDict() for r in dic.collect()]
+    rows = [r.asDict() for r in (collected if collected is not None else dic.collect())]
     by_path = {r["concept_path"]: r for r in rows}
     for r in rows:
         cid, cur, steps = r["canonical_id"], r, 0
