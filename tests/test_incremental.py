@@ -177,3 +177,94 @@ def test_second_batch_anchors_to_prior_batch_page(
         & (F.col("subj") == "https://zzz.example.com/clone-solo")
     ).collect()
     assert len(same) == 1 and same[0]["obj"] == solo
+
+
+def _closure_normalize(rows):
+    """Normalize a triple set modulo canonical-representative choice:
+    union-find over its OWN sameAs edges (identity for the rest), then
+    rewrite subj to the component's min member and drop the sameAs rows
+    themselves. Two runs that partition pages identically but pick
+    different representatives normalize to the same set."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in rows:
+        if r["pred"] == "sameAs":
+            union(r["subj"], r["obj"])
+    out = set()
+    for r in rows:
+        if r["pred"] == "sameAs":
+            continue
+        out.add((find(r["subj"]), r["pred"], r["obj"], r["src_url"]))
+    return out
+
+
+def test_incremental_equals_full_refresh_modulo_reps(
+    spark, fixture_dir, tmp_path_factory
+):
+    """Incremental(base=A, batch=B) produces the same assertion set as
+    full-refresh(A ∪ B), modulo which component member is the
+    representative — provided no batch page bridges two base components
+    (that case is the documented deferred merge). sameAs edges supply
+    the normalization; everything else must match exactly, including
+    the merged hasSpan intervals."""
+    import datetime as dt
+
+    def page(i, text, ts):
+        return _mk_page(f"https://prop.example.com/p{i:02d}", ts, text)
+
+    a_rows = [
+        page(1, "alpha query joins the spark engine with a hash table plan", dt.datetime(2023, 1, 1)),
+        page(2, "window functions stream over sorted partitions in batch mode", dt.datetime(2023, 2, 1)),
+        # an in-base near-dup pair
+        page(3, "merge sort shuffle exchange broadcast filter scan query window", dt.datetime(2023, 3, 1)),
+        page(4, "merge sort shuffle exchange broadcast filter scan query window", dt.datetime(2023, 4, 1)),
+        page(5, "metric:temp>=41.5 observed while the batch pipeline ran today", dt.datetime(2023, 5, 1)),
+    ]
+    b_rows = [
+        # clone of base p1 -> cross-batch component
+        page(11, "alpha query joins the spark engine with a hash table plan", dt.datetime(2024, 1, 1)),
+        # batch-internal pair
+        page(12, "vector scan hash spark stream sort window filter merge join", dt.datetime(2024, 2, 1)),
+        page(13, "vector scan hash spark stream sort window filter merge join", dt.datetime(2024, 3, 1)),
+        # standalone
+        page(14, "completely fresh standalone prose with a metric:load=7 reading", dt.datetime(2024, 4, 1)),
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    d = tmp_path_factory.mktemp("prop_incr")
+    pa, pab = str(d / "a.parquet"), str(d / "ab.parquet")
+    spark.createDataFrame(a_rows, schema).write.parquet(pa)
+    spark.createDataFrame(a_rows + b_rows, schema).write.parquet(pab)
+    pb = str(d / "b.parquet")
+    spark.createDataFrame(b_rows, schema).write.parquet(pb)
+
+    dict_path = f"{fixture_dir}/concept_dict.parquet"
+    out_full = str(d / "full")
+    run_pipeline(spark, pages_path=pab, dict_path=dict_path, out_dir=out_full)
+    full = _closure_normalize(
+        spark.read.parquet(f"{out_full}/triples")
+        .select("subj", "pred", "obj", "src_url")
+        .collect()
+    )
+
+    out_inc = str(d / "incr")
+    run_pipeline(spark, pages_path=pa, dict_path=dict_path, out_dir=out_inc)
+    info = incremental_update(spark, out_inc, pb, dict_path)
+    assert info["deferred_base_merges"] == 0
+    inc = _closure_normalize(
+        read_triples(spark, out_inc)
+        .select("subj", "pred", "obj", "src_url")
+        .collect()
+    )
+    assert full == inc
