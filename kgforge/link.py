@@ -21,13 +21,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
-    """mentions x dictionary -> candidates, one winning candidate per
-    mention.
-
-    Output: (url, warc_ts, mention_id, surface, kind, value_num,
-    value_text, concept_path, canonical_id, pred, score).
-    """
+def winner_dictionary(dictionary: DataFrame) -> DataFrame:
+    """The linker's dictionary-side winner set: leaves with resolved
+    ids, V/E disambiguation, preference rank -> ONE row per alias
+    (surface, concept_path, canonical_id, pred, score). Shared by
+    link_mentions and the pattern-relation extractor so both link
+    against the identical concept set."""
     dic = dictionary.filter(
         F.col("is_leaf") & F.col("canonical_id").isNotNull()
     ).select(
@@ -58,11 +57,21 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     w = Window.partitionBy("surface").orderBy(
         F.desc("score"), F.desc("hlevel"), F.asc("concept_path")
     )
-    winners = (
+    return (
         dic.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "is_leaf")
     )
+
+
+def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """mentions x dictionary -> candidates, one winning candidate per
+    mention.
+
+    Output: (url, warc_ts, mention_id, surface, kind, value_num,
+    value_text, concept_path, canonical_id, pred, score).
+    """
+    winners = winner_dictionary(dictionary)
     out_cols = [
         "url",
         "warc_ts",

@@ -696,6 +696,76 @@ SELECT pred, COUNT(*) AS n_triples, COUNT(DISTINCT subj) AS n_subjects
 FROM triples GROUP BY pred ORDER BY pred
 """
 
+# closed relation-token set for the pattern extractor — the stand-in
+# for a verb lexicon; at a real corpus this is the OpenIE predicate
+# vocabulary, broadcast exactly like the concept dictionary
+REL_WORDS = ("order", "group", "key")
+
+
+def kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenIE-style pattern relation extraction (the north star's
+    'batched pattern/OpenIE-style mention detection' beyond bare
+    entity linking): consecutive-token patterns <entity> <rel-word>
+    <entity> become (subj_concept, rel, obj_concept) relation
+    candidates. Entirely JVM-side: positional tokenization
+    (posexplode), two broadcast joins against the SAME winner
+    dictionary the linker uses (kgforge.link.winner_dictionary), and
+    two composite-key (url, position) equi-joins — no Python, no
+    window over the corpus. At 10^12 docs the plan shuffles only
+    (url, pos, concept) triples for dictionary hits, ~1% of tokens."""
+    from kgforge.link import winner_dictionary
+
+    ext = _extracted(spark, sf_dir)
+    w = ext.select(
+        "url", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    win = (
+        winner_dictionary(prepared_dictionary(spark))
+        .filter(~F.col("surface").contains(" "))  # positional = single-token
+        .select("surface", "canonical_id")
+    )
+    e = w.join(
+        F.broadcast(win), w["w"] == win["surface"]
+    ).select("url", "i", "canonical_id")
+    e1 = e.select(
+        "url",
+        (F.col("i") + 1).alias("p1"),
+        (F.col("i") + 2).alias("p2"),
+        F.col("canonical_id").alias("subj_concept"),
+    )
+    rr = w.filter(F.col("w").isin(*REL_WORDS)).select(
+        "url", F.col("i").alias("p1"), F.col("w").alias("rel")
+    )
+    e2 = e.select(
+        "url", F.col("i").alias("p2"), F.col("canonical_id").alias("obj_concept")
+    )
+    return (
+        e1.join(rr, ["url", "p1"])
+        .join(e2, ["url", "p2"])
+        .groupBy("subj_concept", "rel", "obj_concept")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("subj_concept", "rel", "obj_concept")
+    )
+
+
+ORACLE_KG_RELATIONS = f"""
+WITH {_SQL_PAGES}, {_SQL_DICT},
+words AS (
+  SELECT url, u.i, u.w
+  FROM (SELECT url, string_split(text, ' ') AS ws FROM en_pages) p,
+       LATERAL (SELECT unnest(p.ws) AS w, unnest(range(1, len(p.ws)+1)) AS i) u
+),
+e AS (SELECT url, i, canonical_id FROM words JOIN dict ON w = surface),
+r AS (SELECT url, i, w FROM words WHERE w IN ('order', 'group', 'key'))
+SELECT e1.canonical_id AS subj_concept, r.w AS rel,
+       e2.canonical_id AS obj_concept, COUNT(*) AS n
+FROM e e1
+JOIN r  ON r.url = e1.url AND r.i = e1.i + 1
+JOIN e e2 ON e2.url = e1.url AND e2.i = e1.i + 2
+GROUP BY ALL ORDER BY subj_concept, rel, obj_concept
+"""
+
+
 def kg_dictstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Descriptive-statistics validation corpus over the emitted triple
     set — the ETL_dict_queries analog
@@ -797,6 +867,7 @@ QUERIES = {
     "kg_qualifiers": kg_qualifiers,
     "kg_harvest": kg_harvest,
     "kg_spans": kg_spans,
+    "kg_relations": kg_relations,
     "kg_dictstats": kg_dictstats,
     "kg_report": kg_report,
 }
@@ -811,6 +882,7 @@ ORACLES = {
     "kg_qualifiers": ORACLE_KG_QUALIFIERS,
     "kg_harvest": ORACLE_KG_HARVEST,
     "kg_spans": ORACLE_KG_SPANS,
+    "kg_relations": ORACLE_KG_RELATIONS,
     "kg_dictstats": ORACLE_KG_DICTSTATS,
     "kg_report": ORACLE_KG_REPORT,
 }
