@@ -43,6 +43,8 @@ HEADLINE = [
     "kg_extract",
     "kg_mentions",
     "kg_measurements",
+    "kg_spans",
+    "kg_relations",
     "kg_triples",
 ]
 
