@@ -276,14 +276,24 @@ def connected_components(
     control, not a Catalyst concern (SURVEY.md §4); converges in
     O(log n) rounds for min-propagation and the per-round convergence
     check is a cheap limit(1) probe on changed labels.
+
+    The edge plan is materialized ONCE here (localCheckpoint) before the
+    size probe: upstream the edges are the exact-Jaccard verification
+    output — the expensive part of canonicalization — and without the
+    checkpoint the distributed branch (the only regime where edges are
+    big) would re-execute that whole plan to rebuild its worklist, and
+    the local branch would execute it twice (probe + collect). After the
+    checkpoint both the probe and every consumer read materialized
+    blocks; the verification UDF runs exactly once (pytest-asserted via
+    accumulator in tests/test_canon.py).
     """
+    edges = edges.localCheckpoint(eager=True)
     if not force_distributed:
-        # ONE job decides and fetches: take() pulls at most threshold+1
-        # rows; if the edge set fits, those same rows feed the
-        # union-find — no separate size-probe job, no second collect.
-        head = edges.take(LOCAL_CC_THRESHOLD + 1)
-        if len(head) <= LOCAL_CC_THRESHOLD:
-            return _cc_local(edges, rows=head)
+        # cheap probe on the materialized frame; no 500k-row driver
+        # fetch wasted on the distributed branch
+        n = edges.limit(LOCAL_CC_THRESHOLD + 1).count()
+        if n <= LOCAL_CC_THRESHOLD:
+            return _cc_local(edges)
     return _cc_distributed(edges, max_iter)
 
 
@@ -392,9 +402,9 @@ def canonicalize(
     blocks = lsh_blocks(sigs, n_bands, "iid", n_perms=n_perms)
     pairs, metrics = candidate_pairs(blocks, "iid", max_block)
     pairs = pairs.localCheckpoint(eager=True)
-    # verified edges flow straight into connected_components' single
-    # take()/collect — they have exactly one consumer, so materializing
-    # them would only add a job
+    # verified edges are materialized inside connected_components (one
+    # localCheckpoint) before its size probe — the verification UDF runs
+    # exactly once on either branch
     pages_iid = pages.select(iid, F.col(id_col), F.col(text_col))
     verified = verify_pairs_jaccard(pairs, pages_iid, threshold, "iid", text_col)
     comps = connected_components(

@@ -17,10 +17,14 @@ Iceberg deployment would use:
   `extracted` stage).
 - Representative STABILITY: a new page near-duplicating a base page
   adopts the base component's canonical subject — base triples are
-  never re-keyed. A batch component that would bridge TWO existing base
-  components is counted (`deferred_base_merges`) and keeps the min
-  anchor for its own rows; re-keying the base is deferred to compact()
-  / the next full run — the same deferral Iceberg compaction uses.
+  never re-keyed. A batch component whose members collectively verify
+  against MORE THAN ONE distinct base canonical (whether one url
+  multi-anchors or different members each anchor to a different base
+  component) bridges base components: it is counted
+  (`deferred_base_merges`) and keeps the min anchor for its own rows.
+  Re-keying the base is deferred to the NEXT FULL RUN — compact()
+  materializes the merge-on-read view and folds stage sidecars but
+  deliberately does not re-key existing subjects.
 - Span rows merge with the stored per-subject span arithmetically:
   ISO-8601 UTC strings compare lexicographically, so the merged
   interval is string min/max — no parsing. Curated ('A'-basis) spans
@@ -83,15 +87,21 @@ def _capped_block_join(
     new_blocks: DataFrame, base_blocks: DataFrame, max_block: int
 ) -> tuple[DataFrame, DataFrame]:
     """(new url a) x (base url b) pairs sharing an LSH block, hub blocks
-    capped AND counted on both sides (no-silent-caps, SURVEY.md §7.5)."""
+    capped AND counted (no-silent-caps, SURVEY.md §7.5).
+
+    The cap is on the COMBINED block size (n_new + n_base <= max_block),
+    mirroring the full-refresh candidate_pairs semantics exactly: a
+    block the full run would drop at total size > max_block is dropped
+    here too, so incremental and full refresh agree near the cap (the
+    equivalence property test's contract)."""
     sn = new_blocks.groupBy("bk").agg(F.count(F.lit(1)).alias("n_new"))
     sb = base_blocks.groupBy("bk").agg(F.count(F.lit(1)).alias("n_base"))
     sizes = sn.join(sb, "bk")  # only blocks present on BOTH sides matter
     keep = sizes.filter(
-        (F.col("n_new") <= max_block) & (F.col("n_base") <= max_block)
+        (F.col("n_new") + F.col("n_base")) <= max_block
     ).select("bk")
     dropped = sizes.filter(
-        (F.col("n_new") > max_block) | (F.col("n_base") > max_block)
+        (F.col("n_new") + F.col("n_base")) > max_block
     ).select(
         F.lit("incr_block_dropped").alias("metric"),
         F.col("bk").cast("string").alias("key"),
@@ -107,6 +117,25 @@ def _capped_block_join(
     return pairs, dropped
 
 
+def deferred_merge_count(node_comp: DataFrame, url_anchor: DataFrame) -> int:
+    """Batch components that bridge base components: a component whose
+    members collectively anchor to MORE THAN ONE distinct base canonical
+    is a deferred base merge. Counting distinct canonicals per component
+    covers both the one-url-multi-anchor case and the A~B bridge case
+    (A anchors base1, B anchors base2 — invisible to a per-url count).
+
+    node_comp: (url, comp) — every batch url with its batch component id
+    url_anchor: (url, canon_url) — distinct verified anchoring pairs
+    """
+    return (
+        node_comp.join(url_anchor, "url")
+        .groupBy("comp")
+        .agg(F.countDistinct("canon_url").alias("n_dist"))
+        .filter(F.col("n_dist") > 1)
+        .count()
+    )
+
+
 def incremental_update(
     spark: SparkSession,
     out_dir: str,
@@ -114,6 +143,7 @@ def incremental_update(
     dict_path: str,
     langs: tuple[str, ...] | None = ("en",),
     threshold: float = NEAR_DUP_THRESHOLD,
+    auto_compact_after: int | None = 8,
 ) -> dict:
     # canonical mapping = base stage PLUS every prior increment's mapping,
     # so a batch can anchor to pages introduced by earlier batches (their
@@ -134,7 +164,10 @@ def incremental_update(
             )
     base_ext = base_ext.select("url", "text")
     sig_path = _ensure_signature_sidecar(spark, out_dir)
-    base_sigs = spark.read.parquet(sig_path)
+    # dropDuplicates: a crash between the sidecar append and the batch
+    # rename re-appends the same (url, sig) rows on retry; signatures
+    # are deterministic per url so keeping any one copy is exact
+    base_sigs = spark.read.parquet(sig_path).dropDuplicates(["url"])
 
     dic = O.propagate_hierarchy(O.clean_dictionary(spark.read.parquet(dict_path)))
     aliases = [
@@ -163,18 +196,17 @@ def incremental_update(
     v_nb = C.verify_pairs_jaccard(nb_pairs, texts, threshold).cache()
     v_nn = C.verify_pairs_jaccard(nn_pairs, texts, threshold)
 
-    # anchor: new url -> min base CANONICAL subject it verified against
-    anchors = (
+    # distinct (new url, base canonical) anchoring pairs; per-url min
+    # anchor drives the mapping below
+    url_anchor = (
         v_nb.join(
             base_mapping.select(F.col("url").alias("b"), "canon_url"), "b"
         )
-        .groupBy("a")
-        .agg(
-            F.min("canon_url").alias("anchor"),
-            F.countDistinct("canon_url").alias("n_anchors"),
-        )
+        .select(F.col("a").alias("url"), "canon_url")
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by mapping AND deferral count
     )
-    deferred = anchors.filter(F.col("n_anchors") > 1).count()
+    anchors = url_anchor.groupBy("url").agg(F.min("canon_url").alias("anchor"))
 
     # components among the batch, then adopt the min anchor per component
     comps = C.connected_components(
@@ -188,10 +220,11 @@ def incremental_update(
         .select("url", F.coalesce("comp", F.col("url")).alias("comp"))
     )
     comp_anchor = (
-        node_comp.join(anchors.withColumnRenamed("a", "url"), "url", "left")
+        node_comp.join(anchors, "url", "left")
         .groupBy("comp")
         .agg(F.min("anchor").alias("comp_anchor"), F.min("url").alias("comp_min"))
     )
+    deferred = deferred_merge_count(node_comp, url_anchor)
     mapping_new = (
         node_comp.join(F.broadcast(comp_anchor), "comp")
         .select(
@@ -256,26 +289,48 @@ def incremental_update(
     )
     delta = delta.unionByName(span_rows)
 
+    # crash-safe publication: every batch artifact lands in a hidden
+    # temp dir first; the final os.rename is the atomic commit point.
+    # _increment_dirs only matches ^batch-\d{5}$, so a half-written
+    # .batch-NNNNN.tmp from a crashed run is invisible to read_triples
+    # and simply overwritten on retry — no partial batch can ever enter
+    # the merge-on-read view. The signature append still precedes the
+    # rename (a batch must never be visible without its sigs); a crash
+    # between the two can leave duplicate sidecar rows, which the
+    # dropDuplicates on read absorbs.
+    import shutil
+
     batch = _next_batch(out_dir)
     inc_dir = os.path.join(out_dir, "increments", batch)
+    tmp_dir = os.path.join(out_dir, "increments", f".{batch}.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     delta.write.mode("overwrite").partitionBy("pred").parquet(
-        os.path.join(inc_dir, "triples")
+        os.path.join(tmp_dir, "triples")
     )
-    mapping_new.write.parquet(os.path.join(inc_dir, "mapping"))
+    mapping_new.write.parquet(os.path.join(tmp_dir, "mapping"))
     ext.select("url", "warc_ts", "lang", "text").write.parquet(
-        os.path.join(inc_dir, "extracted")
+        os.path.join(tmp_dir, "extracted")
     )
     new_sigs.write.mode("append").parquet(sig_path)
+    os.rename(tmp_dir, inc_dir)
     n_delta = spark.read.parquet(os.path.join(inc_dir, "triples")).count()
     n_dropped = nb_dropped.count() + nn_metrics.count()
-    return {
+    out = {
         "batch": batch,
         "n_new_pages": ext.count(),
         "n_delta_triples": n_delta,
         "n_new_base_edges": v_nb.count(),
         "deferred_base_merges": deferred,
         "n_capped_blocks": n_dropped,
+        "compacted": False,
     }
+    # auto-compaction: unbounded increment lists grow the merge-on-read
+    # plan linearly (one union branch + dedup input per batch) — the
+    # rewrite_data_files discipline, triggered automatically
+    if auto_compact_after is not None and len(_increment_dirs(out_dir)) >= auto_compact_after:
+        compact(spark, out_dir)
+        out["compacted"] = True
+    return out
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -90,7 +90,16 @@ def migrate_triples(
             df = evolve(df, TRIPLE_MIGRATIONS[v])
             applied.append(v)
     tmp = path.rstrip("/") + f"._migrating_v{to_version}"
-    df.write.mode("overwrite").parquet(tmp)
+    # preserve the pred-partitioned layout run_pipeline creates: a plain
+    # rewrite would silently demote pred to a data column and pred-pruned
+    # reads would lose partition pruning after migration
+    pred_partitioned = any(
+        e.startswith("pred=") for e in os.listdir(path)
+    ) and "pred" in df.columns
+    writer = df.write.mode("overwrite")
+    if pred_partitioned:
+        writer = writer.partitionBy("pred")
+    writer.parquet(tmp)
     import shutil
 
     old = path.rstrip("/") + f"._pre_v{to_version}"

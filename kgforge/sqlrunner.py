@@ -99,12 +99,17 @@ def keyed_results(results: list[dict]) -> dict[str, str]:
     Traceback (most recent call last):
     ...
     ValueError: first column must be SECTION, got 'nope'
+    >>> keyed_results([{"columns": [], "rows": []}])
+    Traceback (most recent call last):
+    ...
+    ValueError: first column must be SECTION, got None
     """
     out: dict[str, str] = {}
     for res in results:
         cols = res["columns"]
         if not cols or cols[0].upper() != "SECTION":
-            raise ValueError(f"first column must be SECTION, got {cols[0]!r}")
+            got = cols[0] if cols else None
+            raise ValueError(f"first column must be SECTION, got {got!r}")
         for row in res["rows"]:
             section = str(row[cols[0]])
             if len(cols) < 4:

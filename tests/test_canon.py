@@ -89,6 +89,39 @@ def test_canonicalize_parallelism_independent(spark, fixture_dir):
     assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m16.collect()))
 
 
+def test_cc_materializes_edges_once(spark):
+    """The edge plan (= the expensive verification chain upstream) runs
+    exactly once regardless of branch: connected_components checkpoints
+    it before the size probe, so the distributed loop's per-round joins
+    and the probe both read materialized blocks (VERDICT r02 wart #1)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf(T.LongType())
+    def tick(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "src long, dst long"
+    )
+    for forced, expected in ((True, 4), (False, 4)):
+        acc.value = 0
+        edges = base.select(tick(F.col("src")).alias("src"), "dst")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(edges, force_distributed=forced).collect()
+        }
+        assert got[3] == 1 and got[11] == 10 and got[21] == 20
+        assert acc.value == expected, (
+            f"edge plan evaluated {acc.value} rows for {expected} edges "
+            f"(force_distributed={forced}) — verification re-executed"
+        )
+
+
 def test_salted_agg_equals_plain_agg(spark, fixture_dir):
     """Salted two-phase aggregation == direct aggregation (hub-key path,
     SURVEY.md §7.5)."""

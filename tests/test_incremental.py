@@ -179,6 +179,96 @@ def test_second_batch_anchors_to_prior_batch_page(
     assert len(same) == 1 and same[0]["obj"] == solo
 
 
+def test_deferred_merge_counts_component_bridges(spark):
+    """The deferral metric is component-level distinct-anchor counting:
+    A anchors base1 and B anchors base2 with A~B in one batch component
+    is a bridge (deferred=1) even though each url has exactly one anchor
+    — the case a per-url count silently missed. The one-url-two-anchors
+    case and the clean case are covered alongside."""
+    from kgforge.incremental import deferred_merge_count
+
+    node_comp = spark.createDataFrame(
+        [("A", "c1"), ("B", "c1"),   # bridge component
+         ("C", "c2"),                # multi-anchor singleton
+         ("D", "c3"), ("E", "c3")],  # clean component, one shared anchor
+        "url string, comp string",
+    )
+    url_anchor = spark.createDataFrame(
+        [("A", "base1"), ("B", "base2"),   # bridge: 2 distinct via 2 urls
+         ("C", "base3"), ("C", "base4"),   # 2 distinct via 1 url
+         ("D", "base5"), ("E", "base5")],  # clean
+        "url string, canon_url string",
+    )
+    assert deferred_merge_count(node_comp, url_anchor) == 2
+    clean = url_anchor.filter(F.col("url").isin("D", "E"))
+    assert deferred_merge_count(node_comp, clean) == 0
+
+
+def test_auto_compaction_triggers_and_preserves_view(
+    spark, fixture_dir, tmp_path_factory
+):
+    """Ingesting past auto_compact_after collapses increments into the
+    base automatically and the merge-on-read view is unchanged; a
+    leftover .tmp dir from a simulated crash stays invisible."""
+    import datetime as dt
+    import os
+
+    d = tmp_path_factory.mktemp("auto_compact")
+    base_pages = [
+        _mk_page("https://ac.example.com/p1", dt.datetime(2023, 1, 1),
+                 "alpha query joins the spark engine with a hash table plan"),
+        _mk_page("https://ac.example.com/p2", dt.datetime(2023, 2, 1),
+                 "window functions stream over sorted partitions in batch mode"),
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pa = str(d / "base.parquet")
+    spark.createDataFrame(base_pages, schema).write.parquet(pa)
+    out = str(d / "out")
+    run_pipeline(
+        spark, pages_path=pa, dict_path=f"{fixture_dir}/concept_dict.parquet",
+        out_dir=out,
+    )
+    # simulated crash leftover: must be ignored and never surface
+    crash_dir = os.path.join(out, "increments", ".batch-00001.tmp")
+    os.makedirs(crash_dir, exist_ok=True)
+
+    infos = []
+    for i in range(3):
+        pb = str(d / f"b{i}.parquet")
+        spark.createDataFrame(
+            [_mk_page(f"https://ac.example.com/new{i}", dt.datetime(2024, 1, i + 1),
+                      f"fresh standalone prose number {i} with nothing shared at all")],
+            schema,
+        ).write.parquet(pb)
+        before = sorted(
+            tuple(r)
+            for r in read_triples(spark, out)
+            .select("subj", "pred", "obj", "src_url")
+            .collect()
+        )
+        info = incremental_update(
+            spark, out, pb, f"{fixture_dir}/concept_dict.parquet",
+            auto_compact_after=2,
+        )
+        infos.append(info)
+        after = read_triples(spark, out).select("subj", "pred", "obj", "src_url")
+        # the batch only ever ADDS rows for its new page; prior view intact
+        kept = sorted(
+            tuple(r)
+            for r in after.filter(
+                ~F.col("src_url").contains(f"new{i}")
+            ).collect()
+        )
+        assert kept == before
+    # batch 1: no compaction (1 increment < 2); batch 2: compacted;
+    # batch 3: fresh increment numbering resumes at 00001 post-compact
+    assert [i["compacted"] for i in infos] == [False, True, False]
+    inc_root = os.path.join(out, "increments")
+    dirs = os.listdir(inc_root) if os.path.isdir(inc_root) else []
+    assert [e for e in dirs if e.startswith("batch-")] == ["batch-00001"]
+    assert not any(e.endswith(".tmp") for e in dirs)  # tmp dirs cleaned/ignored
+
+
 def _closure_normalize(rows):
     """Normalize a triple set modulo canonical-representative choice:
     union-find over its OWN sameAs edges (identity for the rest), then

@@ -40,6 +40,27 @@ def test_migrate_is_idempotent(spark, tmp_path):
     assert before == after
 
 
+def test_migrate_preserves_pred_partitioning(spark, tmp_path):
+    """A pred-partitioned triple table stays pred-partitioned after
+    migration — pred-pruned reads keep partition pruning."""
+    import os
+
+    p = str(tmp_path / "triples")
+    df = spark.createDataFrame(
+        [("s1", "hasLang", "en", "entity", "u1"),
+         ("s2", "hasTopic", "TOPIC:JOIN", "entity", "u2")],
+        "subj string, pred string, obj string, quality_kind string, src_url string",
+    )
+    df.write.mode("overwrite").partitionBy("pred").parquet(p)
+    assert any(e.startswith("pred=") for e in os.listdir(p))
+    info = migrate_triples(spark, p)
+    assert info["migrated"]
+    assert any(e.startswith("pred=") for e in os.listdir(p))  # layout kept
+    out = spark.read.parquet(p)
+    assert "pred" in out.columns and "qual_kind" in out.columns
+    assert out.count() == 2
+
+
 def test_evolve_skips_already_applied_steps(spark):
     df = spark.createDataFrame([("s", "p")], "subj string, qual_kind string")
     out = evolve(df, TRIPLE_MIGRATIONS[2])
