@@ -426,12 +426,39 @@ def canonicalize(
     return mapping, metrics
 
 
+def salted_distinct_count(
+    df: DataFrame, key_cols: list[str], distinct_col: str, salts: int = 16,
+    extra_counts: bool = True,
+) -> DataFrame:
+    """EXACT distinct counts per hub key via salted two-phase
+    aggregation (SURVEY.md §7.5) — the non-associative complement to
+    salted_agg. The salt is a hash OF THE DISTINCT-COUNTED COLUMN, so
+    each distinct value lands in exactly one (key, salt) cell: phase 1
+    count-distincts within the cell, phase 2 SUMS the disjoint partial
+    counts — exact, while no single reducer ever holds a hub key's full
+    distinct set. This is the plan for per-subject distinct-source
+    stats where one canonical subject aggregates mentions from millions
+    of pages (the reference's payer/DRG dedup problem at corpus scale).
+    Returns (key_cols..., n_distinct[, n_rows])."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salts))
+    )
+    p1 = [F.countDistinct(distinct_col).alias("_p_nd")]
+    p2 = [F.sum("_p_nd").cast("long").alias("n_distinct")]
+    if extra_counts:
+        p1.append(F.count(F.lit(1)).alias("_p_n"))
+        p2.append(F.sum("_p_n").cast("long").alias("n_rows"))
+    return (
+        salted.groupBy(*key_cols, "_salt").agg(*p1).groupBy(*key_cols).agg(*p2)
+    )
+
+
 def salted_agg(df: DataFrame, key_cols: list[str], agg_exprs: dict, salts: int = 16) -> DataFrame:
     """Two-phase salted aggregation for hub keys (SURVEY.md §7.5): salt
     with a hash of the full row id space, partially aggregate per
     (key, salt), then finalize per key. Only associative aggregates
-    (sum/count/min/max) are supported — which is exactly what the
-    pipeline needs."""
+    (sum/count/min/max) are supported here; exact count-distinct — the
+    non-associative case — goes through salted_distinct_count above."""
     phase1 = []
     finals = []
     for name, (col, op) in agg_exprs.items():

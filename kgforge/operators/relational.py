@@ -1065,7 +1065,370 @@ ORDER BY s.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# MERGE/upsert and salted statistics (driver-checkable operators)
+# ---------------------------------------------------------------------------
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: list[str], pri_col: str
+) -> DataFrame:
+    """MERGE INTO as dedup-union-latest-wins: union the sources, rank per
+    key by priority (updates > base), keep rn=1 — the reference's
+    gender-identity/sexual-orientation MERGE post-pass
+    (Oracle/PCORNetLoader_ora.sql:1263-1283) without in-place mutation.
+    Matched keys take the update row, unmatched updates insert, base
+    rows without an update survive — exactly MERGE WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED THEN INSERT, as one shuffle on the key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc(pri_col))
+    return (
+        base.unionByName(updates)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable MERGE: base = all events; updates = corrected
+    rows for every 10th event; inserts = brand-new rows keyed past the
+    base id space. Latest-wins on event_id with source priority."""
+    ev = read_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.lit(1).alias("src_pri"),
+    )
+    updates = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id", "user_id",
+            F.lit("corrected").alias("event_type"),
+            (F.col("value") * 2).cast("double").alias("value"),
+            F.lit(2).alias("src_pri"),
+        )
+    )
+    inserts = (
+        ev.filter(F.col("event_id") % 500 == 0)
+        .select(
+            (F.col("event_id") + 10000000).alias("event_id"), "user_id",
+            F.lit("inserted").alias("event_type"),
+            F.col("value").cast("double").alias("value"),
+            F.lit(2).alias("src_pri"),
+        )
+    )
+    merged = merge_upsert(base, updates.unionByName(inserts), ["event_id"], "src_pri")
+    return merged.select(
+        "event_id", "user_id", "event_type", "value",
+        F.when(F.col("src_pri") == 2, F.lit("upserted"))
+        .otherwise(F.lit("base"))
+        .alias("merge_src"),
+    ).orderBy("event_id")
+
+
+ORACLE_MERGE_UPSERT = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value, 1 AS src_pri
+  FROM events
+), upd AS (
+  SELECT event_id, user_id, 'corrected' AS event_type,
+         CAST(value * 2 AS DOUBLE) AS value, 2 AS src_pri
+  FROM events WHERE event_id % 10 = 0
+), ins AS (
+  SELECT event_id + 10000000 AS event_id, user_id, 'inserted' AS event_type,
+         CAST(value AS DOUBLE) AS value, 2 AS src_pri
+  FROM events WHERE event_id % 500 = 0
+), merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT event_id, user_id, event_type, value,
+       CASE WHEN src_pri = 2 THEN 'upserted' ELSE 'base' END AS merge_src
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src_pri DESC) AS rn
+  FROM merged
+) WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-subject counts per hub key through the SALTED
+    two-phase plan (kgforge.canon.salted_distinct_count): event_type is
+    a handful of hub values aggregating the whole table — precisely the
+    skew shape where a plain countDistinct funnels every row of a hot
+    key through one reducer. The salt is hash(user_id) % 16 so partial
+    distinct counts are disjoint and their SUM is exact; the oracle is
+    the plain COUNT(DISTINCT) the plan must equal."""
+    from kgforge.canon import salted_distinct_count
+
+    ev = read_table(spark, "events", sf_dir)
+    return (
+        salted_distinct_count(ev, ["event_type"], "user_id", salts=16)
+        .withColumnRenamed("n_distinct", "n_users")
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SALTED_STATS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Compound queries — melted multi-operator bundles
+# ---------------------------------------------------------------------------
+# The driver records at most ~50 CORRECTNESS rows per round; the full §2
+# inventory is larger. Cheap operator families are therefore bundled:
+# each compound runs the SAME q_* implementations as the standalone
+# queries (still registered above for local verification and bench) and
+# melts every result cell into one tall frame
+#   (section, rk, ck, v_str, v_num)
+# — section = the standalone query's name, rk = that row's key, ck = the
+# column name, value in v_str (strings) or v_num (numerics; timestamps
+# as epoch microseconds, exact in a double). The DuckDB oracle performs
+# the identical melt over the standalone oracle SQL, so every original
+# cell is still value-hash-compared: consolidation loses no fidelity.
+
+_MELT_KINDS = ("s", "n", "t")
+
+
+def _melt(df: DataFrame, section: str, key_cols: list[str], cells: list[tuple]) -> DataFrame:
+    rk = (
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        if key_cols
+        else F.lit("")  # single-row aggregate sections
+    )
+    structs = []
+    for name, kind in cells:
+        if kind == "s":
+            vs, vn = F.col(name).cast("string"), F.lit(None).cast("double")
+        elif kind == "n":
+            vs, vn = F.lit(None).cast("string"), F.col(name).cast("double")
+        elif kind == "t":
+            # cast covers TIMESTAMP_NTZ parquet columns; session TZ is
+            # pinned UTC so the instant equals DuckDB's epoch_us on the
+            # same naive timestamp
+            vs, vn = (
+                F.lit(None).cast("string"),
+                F.unix_micros(F.col(name).cast("timestamp")).cast("double"),
+            )
+        else:
+            raise ValueError(f"unknown melt kind {kind!r}")
+        structs.append(
+            F.struct(F.lit(name).alias("ck"), vs.alias("v_str"), vn.alias("v_num"))
+        )
+    return df.select(
+        F.lit(section).alias("section"),
+        rk.alias("rk"),
+        F.explode(F.array(*structs)).alias("c"),
+    ).select("section", "rk", "c.ck", "c.v_str", "c.v_num")
+
+
+def _melt_sql(section: str, base_sql: str, key_cols: list[str], cells: list[tuple]) -> str:
+    rk = (
+        "concat_ws('|', "
+        + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in key_cols)
+        + ")"
+        if key_cols
+        else "''"
+    )
+    parts = []
+    for name, kind in cells:
+        if kind == "s":
+            vs, vn = f'CAST("{name}" AS VARCHAR)', "CAST(NULL AS DOUBLE)"
+        elif kind == "n":
+            vs, vn = "CAST(NULL AS VARCHAR)", f'CAST("{name}" AS DOUBLE)'
+        else:
+            vs, vn = "CAST(NULL AS VARCHAR)", f'CAST(epoch_us("{name}") AS DOUBLE)'
+        parts.append(
+            f"SELECT '{section}' AS section, {rk} AS rk, '{name}' AS ck, "
+            f"{vs} AS v_str, {vn} AS v_num FROM ({base_sql})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _compound(spark: SparkSession, sf_dir: str, specs: list[tuple]) -> DataFrame:
+    out = None
+    for section, fn, flt, key_cols, cells in specs:
+        df = fn(spark, sf_dir)
+        if flt is not None:
+            df = df.filter(flt)
+        part = _melt(df, section, key_cols, cells)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _compound_sql(specs: list[tuple]) -> str:
+    parts = []
+    for section, base_sql, where, key_cols, cells in specs:
+        base = f"SELECT * FROM ({base_sql}) WHERE {where}" if where else base_sql
+        parts.append(_melt_sql(section, base, key_cols, cells))
+    return "\nUNION ALL\n".join(parts)
+
+
+# (section, spark filter / SQL where, key cols, cells) per bundled query.
+# Filters trim the three 10k-row event scans so the compound stays in the
+# row-count regime the driver has demonstrably handled.
+_SCALAR_CELLS = {
+    "rel_scheme_split": (
+        "c_custkey <= 600", ["c_custkey"],
+        [("code", "s"), ("scheme", "s"), ("value", "s")],
+    ),
+    "rel_time_format": (
+        "event_id <= 1500", ["event_id"],
+        [("event_date", "s"), ("event_time", "s")],
+    ),
+    "rel_case_mapping": (
+        "event_id <= 1500", ["event_id"],
+        [("event_type", "s"), ("enc_type", "s")],
+    ),
+    "rel_format_lpad": (
+        "o_orderkey <= 800", ["o_orderkey"],
+        [("key_trunc", "s"), ("cust_code", "s"), ("prio_code", "s")],
+    ),
+    "rel_path_slice": (
+        None, ["n_nationkey"],
+        [("path", "s"), ("leaf", "s"), ("domain", "s"), ("fixed_slice", "s")],
+    ),
+    "rel_unit_convert": (
+        "l_orderkey <= 320", ["l_orderkey", "l_linenumber"],
+        [("qty", "n"), ("qty_lb", "n"), ("qty_in", "n")],
+    ),
+    "rel_value_guard": (
+        "event_id <= 1000", ["event_id"],
+        [("value_guarded", "n"), ("comparator", "s")],
+    ),
+}
+
+_SETOP_CELLS = {
+    "rel_union_all": (None, ["kind", "nationkey"], [("n", "n")]),
+    "rel_except": (None, ["c_custkey"], [("c_custkey", "n")]),
+    "rel_intersect": (None, ["nationkey"], [("nationkey", "n")]),
+    "rel_union_distinct": (None, ["nationkey"], [("nationkey", "n")]),
+    "rel_distinct_limit": (None, ["o_custkey"], [("o_custkey", "n")]),
+}
+
+_WINDOW_CELLS = {
+    "rel_dedup_rank": (
+        "o_custkey <= 750", ["o_custkey"],
+        [("o_orderkey", "n"), ("o_orderdate", "t"), ("o_totalprice", "n")],
+    ),
+    "rel_ntile_cohort": (
+        "c_custkey <= 750", ["c_custkey"],
+        [("c_mktsegment", "s"), ("n_facts", "n"), ("pct", "n")],
+    ),
+    "rel_topk_per_group": (
+        None, ["o_orderpriority", "rnk"],
+        [("o_orderkey", "n"), ("o_totalprice", "n")],
+    ),
+    "rel_topk_freshness": (None, [], [("n", "n"), ("avg_epoch", "n")]),
+}
+
+_PIVOT_CELLS = {
+    "rel_modifier_pivot": (
+        None, ["user_id"],
+        [("n_click", "n"), ("n_view", "n"), ("n_purchase", "n"), ("n_error", "n")],
+    ),
+    "rel_eav_pivot_max": (
+        None, ["user_id"],
+        [("max_click_value", "n"), ("max_purchase_value", "n"), ("max_view_value", "n")],
+    ),
+}
+
+_SCAN_PARSE_CELLS = {
+    "rel_filtered_scan": (
+        None, ["o_orderkey"], [("o_custkey", "n"), ("o_orderdate", "t")]
+    ),
+    "rel_csv_parse": (None, ["n_nationkey", "pos"], [("code", "s")]),
+    "rel_json_qualifier": (None, ["event_id"], [("k_val", "n")]),
+}
+
+_AGG_STATS_CELLS = {
+    "rel_median": (None, ["l_returnflag"], [("median_qty", "n"), ("p90_qty", "n")]),
+    "rel_breakdown_pct": (None, ["o_orderstatus"], [("cnt", "n"), ("pct", "n")]),
+    "rel_reconciliation_counts": (
+        None, ["tbl"], [("n_rows", "n"), ("n_subjects", "n")]
+    ),
+    "rel_group_minmax_impute": (
+        None, ["user_id", "event_type"],
+        [("first_event_id", "n"), ("onset_ts", "t"), ("latest_ts", "t"),
+         ("resolve_status", "s")],
+    ),
+}
+
+_SEMI_ANTI_CELLS = {
+    "rel_semi_join": (
+        None, ["c_custkey"], [("c_name", "s"), ("c_mktsegment", "s")]
+    ),
+    "rel_anti_join": (None, ["c_custkey"], [("c_name", "s")]),
+}
+
+
+def _compound_sqlless(spark: SparkSession, sf_dir: str, cells_by_section: dict) -> DataFrame:
+    specs = [
+        (sec, QUERIES[sec], flt, keys, cells)
+        for sec, (flt, keys, cells) in cells_by_section.items()
+    ]
+    return _compound(spark, sf_dir, specs)
+
+
+def _make_compound_sql(cells_by_section: dict) -> str:
+    return _compound_sql(
+        [
+            (sec, ORACLES[sec], flt, keys, cells)
+            for sec, (flt, keys, cells) in cells_by_section.items()
+        ]
+    )
+
+
+def q_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound §2.7 scalar bundle: scheme split, time-of-day format,
+    case-mapping decision table, numeric format/lpad, path slice + leaf,
+    unit-conversion constants, value-domain guard — the standalone
+    queries melted into one oracle-checked frame (see module note)."""
+    return _compound_sqlless(spark, sf_dir, _SCALAR_CELLS)
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound §2.6 set-op bundle: union-all, except, intersect,
+    union-distinct, distinct+limit."""
+    return _compound_sqlless(spark, sf_dir, _SETOP_CELLS)
+
+
+def q_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound §2.5 window bundle: dedup-by-preference rank, ntile
+    cohort filter, top-k per group, top-k freshness aggregate."""
+    return _compound_sqlless(spark, sf_dir, _WINDOW_CELLS)
+
+
+def q_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound pivot bundle: one-pass modifier re-attach pivot and the
+    EAV->wide pivot-by-max."""
+    return _compound_sqlless(spark, sf_dir, _PIVOT_CELLS)
+
+
+def q_scan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound scan/parse bundle: pushdown-filtered scan, quoted-CSV
+    regexp parse, JSON qualifier extraction."""
+    return _compound_sqlless(spark, sf_dir, _SCAN_PARSE_CELLS)
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound aggregation bundle: exact percentiles, breakdown
+    percentage, reconciliation counts, group min/max + imputation."""
+    return _compound_sqlless(spark, sf_dir, _AGG_STATS_CELLS)
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound semi/anti-join bundle: IN-subquery decorrelation and
+    NOT-IN codelist exclusion."""
+    return _compound_sqlless(spark, sf_dir, _SEMI_ANTI_CELLS)
+
+
 QUERIES = {
+    "rel_merge_upsert": q_merge_upsert,
+    "rel_salted_stats": q_salted_stats,
     "rel_rollup": q_rollup,
     "rel_unit_convert": q_unit_convert,
     "rel_format_lpad": q_format_lpad,
@@ -1104,6 +1467,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_merge_upsert": ORACLE_MERGE_UPSERT,
+    "rel_salted_stats": ORACLE_SALTED_STATS,
     "rel_rollup": ORACLE_ROLLUP,
     "rel_unit_convert": ORACLE_UNIT_CONVERT,
     "rel_format_lpad": ORACLE_FORMAT_LPAD,
@@ -1140,3 +1505,43 @@ ORACLES = {
     "rel_value_guard": ORACLE_VALUE_GUARD,
     "rel_hierarchy_propagation": ORACLE_HIERARCHY_PROPAGATION,
 }
+
+# compound bundles — built from the standalone entries above, so they
+# must be registered after both dicts exist
+_COMPOUNDS = {
+    "rel_scalars": (q_scalars, _SCALAR_CELLS),
+    "rel_setops": (q_setops, _SETOP_CELLS),
+    "rel_windows": (q_windows, _WINDOW_CELLS),
+    "rel_pivots": (q_pivots, _PIVOT_CELLS),
+    "rel_scan_parse": (q_scan_parse, _SCAN_PARSE_CELLS),
+    "rel_agg_stats": (q_agg_stats, _AGG_STATS_CELLS),
+    "rel_semi_anti": (q_semi_anti, _SEMI_ANTI_CELLS),
+}
+for _name, (_fn, _cells) in _COMPOUNDS.items():
+    QUERIES[_name] = _fn
+    ORACLES[_name] = _make_compound_sql(_cells)
+
+# the driver registry is capped at ~50 recorded rows; these are the
+# rel_* names __spark_entry__ registers — standalone operators that are
+# not covered by a compound bundle, plus the bundles themselves. The
+# remaining standalone entries in QUERIES stay for bench.py,
+# tools/verify_local.py and the pytest suite.
+DRIVER_REL_QUERIES = [
+    "rel_pricing_summary",
+    "rel_hierarchy_propagation",
+    "rel_broadcast_linker",
+    "rel_theta_containment",
+    "rel_values_seed_join",
+    "rel_composite_key_scope",
+    "rel_loyalty_override",
+    "rel_rollup",
+    "rel_merge_upsert",
+    "rel_salted_stats",
+    "rel_scalars",
+    "rel_setops",
+    "rel_windows",
+    "rel_pivots",
+    "rel_scan_parse",
+    "rel_agg_stats",
+    "rel_semi_anti",
+]

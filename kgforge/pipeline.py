@@ -412,18 +412,33 @@ def kg_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NI-coded missingness discipline."""
     from kgforge.conf import DATAMART_ID, DATAMART_NAME, NETWORK_ID, NI
 
+    # the corpus-derived constant is a LAZY scalar: a 1-row aggregate
+    # cross-joined onto the constants frame (broadcast by Catalyst), so
+    # building this query runs no job — the count executes only when the
+    # returned DataFrame does
     d = read_table(spark, "documents", sf_dir)
-    n_docs = d.filter(F.col("lang") == "en").count()
+    n_docs = d.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).cast("string").alias("_n_en_docs")
+    )
     rows = [
         ("kgforge", "hasDatamartId", DATAMART_ID),
         ("kgforge", "hasDatamartName", DATAMART_NAME),
         ("kgforge", "hasNetworkId", NETWORK_ID),
-        ("kgforge", "hasEnDocCount", str(n_docs)),
+        ("kgforge", "hasEnDocCount", None),
         ("kgforge", "hasRefreshNote", NI),
     ]
-    return spark.createDataFrame(
-        rows, "subj string, pred string, obj string"
-    ).orderBy("pred")
+    consts = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    return (
+        consts.crossJoin(n_docs)
+        .select(
+            "subj",
+            "pred",
+            F.when(F.col("pred") == "hasEnDocCount", F.col("_n_en_docs"))
+            .otherwise(F.col("obj"))
+            .alias("obj"),
+        )
+        .orderBy("pred")
+    )
 
 
 ORACLE_KG_HARVEST = """

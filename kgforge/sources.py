@@ -99,7 +99,9 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
-def write_triples(df: DataFrame, target: str, mode: str = "overwrite") -> str:
+def write_triples(
+    df: DataFrame, target: str, mode: str = "overwrite", table_writer=None
+) -> str:
     """Triple sink — publishes the final triple set.
 
     `target` is either an Iceberg table identifier (no '/'; e.g.
@@ -108,17 +110,26 @@ def write_triples(df: DataFrame, target: str, mode: str = "overwrite") -> str:
     `writeTo(...).overwritePartitions()` path on a table partitioned by
     pred (+ bucket(subj) in the table's partition spec); otherwise it
     writes parquet partitioned by pred — the same pruning behavior for
-    readers. Returns which sink was used ('iceberg' | 'parquet')."""
+    readers. Returns which sink was used ('iceberg' | 'parquet').
+
+    `table_writer` injects the DataFrameWriterV2 factory (defaults to
+    `df.writeTo`) so the identifier branch's mode/routing logic is unit-
+    testable in a container without Iceberg jars — the branch would
+    otherwise be permanently unexecutable here (the reference's table
+    sinks, Oracle/PCORNetLoader_ora.sql:1334, have no such environment
+    dependency)."""
     spark = df.sparkSession
     is_identifier = "/" not in target and not target.startswith("file:")
     if is_identifier:
-        if not have_iceberg(spark):
-            raise RuntimeError(
-                f"target {target!r} is a table identifier but no Iceberg "
-                "catalog is available in this session; pass a path for "
-                "the parquet fallback"
-            )
-        w = df.writeTo(target)
+        if table_writer is None:
+            if not have_iceberg(spark):
+                raise RuntimeError(
+                    f"target {target!r} is a table identifier but no Iceberg "
+                    "catalog is available in this session; pass a path for "
+                    "the parquet fallback"
+                )
+            table_writer = df.writeTo
+        w = table_writer(target)
         if mode == "overwrite":
             w.createOrReplace()
         else:

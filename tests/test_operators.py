@@ -409,6 +409,44 @@ def test_write_triples_publish_paths(spark, tmp_path):
             write_triples(df, "cat.db.triples")
 
 
+def test_write_triples_iceberg_branch_via_injection(spark):
+    """The Iceberg identifier branch (mode routing + target handling) is
+    exercised without a live catalog by injecting the DataFrameWriterV2
+    factory — the branch is unreachable otherwise in this container."""
+    from kgforge.sources import write_triples
+
+    df = spark.createDataFrame(
+        [("s1", "hasLang", "en")], "subj string, pred string, obj string"
+    )
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, target):
+            self.target = target
+
+        def createOrReplace(self):
+            calls.append((self.target, "createOrReplace"))
+
+        def append(self):
+            calls.append((self.target, "append"))
+
+    assert write_triples(df, "cat.db.triples", table_writer=FakeWriter) == "iceberg"
+    assert write_triples(
+        df, "cat.db.triples", mode="append", table_writer=FakeWriter
+    ) == "iceberg"
+    assert calls == [
+        ("cat.db.triples", "createOrReplace"),
+        ("cat.db.triples", "append"),
+    ]
+    # a path target never consults the injected writer
+    calls.clear()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        assert write_triples(df, f"{td}/t", table_writer=FakeWriter) == "parquet"
+    assert calls == []
+
+
 def test_span_emitter_curated_override_and_observed_fallback(spark):
     """emit_span_triples: the curated-periods row overrides the observed
     min/max span (basis 'A'); subjects without a curated row keep the
@@ -487,3 +525,45 @@ def test_stream_kg_pipeline_parity(spark, fixture_dir, tmp_path):
     )
     assert len(b) > 0
     assert s == b
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE as dedup-union-latest-wins: matched keys take the update
+    row, unmatched updates insert, base rows without an update survive
+    (the reference MERGE post-pass, Oracle/PCORNetLoader_ora.sql:1263)."""
+    from kgforge.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, pri int"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 2), (4, "D", 2)], "k int, v string, pri int"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_upsert(base, upd, ["k"], "pri").collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_salted_distinct_count_exact(spark, sf001):
+    """Salted two-phase distinct count == plain COUNT(DISTINCT) — the
+    salt partitions the distinct value space, so partial counts are
+    disjoint and their sum is exact (hub-key skew path, SURVEY.md 7.5)."""
+    from kgforge.canon import salted_distinct_count
+
+    ev = spark.read.parquet(f"{sf001}/events.parquet")
+    plain = {
+        (r["event_type"],): (r["n_users"], r["n_rows"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["n_distinct"], r["n_rows"])
+        for r in salted_distinct_count(ev, ["event_type"], "user_id", salts=7).collect()
+    }
+    assert plain == salted
