@@ -567,3 +567,30 @@ def test_salted_distinct_count_exact(spark, sf001):
         for r in salted_distinct_count(ev, ["event_type"], "user_id", salts=7).collect()
     }
     assert plain == salted
+
+
+def test_compound_bundles_cover_specs(spark, sf001):
+    """Every compound bundle emits exactly the melt schema and carries
+    every (section, cell) its spec promises — the guard that keeps the
+    consolidated driver registry equivalent to the standalone queries
+    it replaced (a silently-dropped section would shrink coverage
+    without failing any oracle)."""
+    from kgforge.operators import relational as R
+
+    for name, (fn, cells) in R._COMPOUNDS.items():
+        df = fn(spark, sf001)
+        assert df.columns == ["section", "rk", "ck", "v_str", "v_num"], name
+        got = {
+            (r["section"], r["ck"])
+            for r in df.select("section", "ck").distinct().collect()
+        }
+        want = {
+            (sec, cname)
+            for sec, (_flt, _keys, cs) in cells.items()
+            for cname, _kind in cs
+        }
+        # a section may be legitimately empty at tiny SF (anti-join)
+        empty_ok = {"rel_anti_join"}
+        missing = {(s, c) for (s, c) in want - got if s not in empty_ok}
+        assert not missing, f"{name} dropped cells: {missing}"
+        assert got <= want, f"{name} emitted unspecified cells: {got - want}"
