@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     incp.add_argument("--dict", required=True, dest="dict_path")
     incp.add_argument("--langs", default="en")
     incp.add_argument("--threshold", type=float, default=0.8)
+    incp.add_argument(
+        "--compact-after", type=int, default=8, dest="compact_after",
+        help="auto-compact once this many increments accumulate; 0 disables",
+    )
     incp.add_argument("--cpus", type=int, default=None)
 
     cmpp = sub.add_parser(
@@ -84,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
                 incremental_update(
                     spark, args.out, args.pages, args.dict_path,
                     langs=langs, threshold=args.threshold,
+                    auto_compact_after=args.compact_after or None,
                 )
             )
         )
