@@ -92,14 +92,28 @@ def main() -> int:
     # Best-of-k per query: the box is co-tenant (measured ±40-55% swings
     # between identical runs, BENCH/BASELINE.md noise section), so a
     # single pass measures the neighbor's load as often as the plan.
-    # kg_* queries keep their PASS-1 time: the session-level stage cache
-    # would make later passes measure cache reads, not the pipeline.
+    # The kg_* session stage cache is CLEARED before every pass, so each
+    # pass re-runs the pipeline from the Arrow extraction on — kg_*
+    # timings are honest recomputations and take best-of-k like every
+    # other query (they were single-sample pass-1 numbers before).
     # Guarded: skip the repeat if the first pass already spent the
     # budget.
+    def reset_kg_cache() -> None:
+        from kgforge import pipeline as P
+
+        for stages in P._KG_STAGE_CACHE.values():
+            for df in stages.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        P._KG_STAGE_CACHE.clear()
+
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     n_triples = 0
     passes: list[dict[str, float]] = []
     for it in range(max(1, repeats)):
+        reset_kg_cache()
         cur: dict[str, float] = {}
         for name in HEADLINE:
             fn = qs[name]
@@ -114,13 +128,7 @@ def main() -> int:
         if sum(cur.values()) > 100.0:
             break
     timings = {
-        name: round(
-            passes[0][name]
-            if name.startswith("kg_")
-            else min(p[name] for p in passes),
-            3,
-        )
-        for name in HEADLINE
+        name: round(min(p[name] for p in passes), 3) for name in HEADLINE
     }
     total = sum(timings.values())
 
@@ -129,6 +137,12 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "passes": len(passes),
+        # r01/r02 reported kg_* as single-sample pass-1 times (the stage
+        # cache made later passes invalid); from r03 the cache is cleared
+        # per pass, so kg_* is an honest recomputation and takes
+        # best-of-k like every other query. Compare kg_* round-over-round
+        # with that in mind.
+        "kg_timing": "best_of_k_recomputed_per_pass",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
