@@ -589,8 +589,9 @@ def test_compound_bundles_cover_specs(spark, sf001):
             for sec, (_flt, _keys, cs) in cells.items()
             for cname, _kind in cs
         }
-        # a section may be legitimately empty at tiny SF (anti-join)
-        empty_ok = {"rel_anti_join"}
-        missing = {(s, c) for (s, c) in want - got if s not in empty_ok}
+        # since round 4 every section (including the anti-join, whose
+        # exclusion list is now partial so survivors exist at every sf)
+        # must contribute cells — no empty_ok exemptions
+        missing = want - got
         assert not missing, f"{name} dropped cells: {missing}"
         assert got <= want, f"{name} emitted unspecified cells: {got - want}"

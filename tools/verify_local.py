@@ -5,7 +5,12 @@ oracle_sql() via DuckDB: row count, column-name set, and an
 order-insensitive value hash (columns sorted by name, rows sorted, cells
 normalized). Usage:
 
-    python tools/verify_local.py [name_prefix ...]
+    python tools/verify_local.py [--all-rel] [name_prefix ...]
+
+--all-rel additionally sweeps every standalone entry in
+kgforge.operators.relational.QUERIES/ORACLES (the 27 queries folded into
+compound bundles keep their full unfiltered oracles executable here even
+though the driver registry only carries the bundles).
 """
 
 from __future__ import annotations
@@ -50,7 +55,9 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    prefixes = sys.argv[1:]
+    argv = sys.argv[1:]
+    all_rel = "--all-rel" in argv
+    prefixes = [a for a in argv if a != "--all-rel"]
     import __spark_entry__ as se
     from kgforge.conf import get_spark
 
@@ -61,7 +68,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    qs, oracles = se.queries(), se.oracle_sql()
+    qs, oracles = dict(se.queries()), dict(se.oracle_sql())
+    if all_rel:
+        from kgforge.operators import relational
+
+        for name, fn in relational.QUERIES.items():
+            qs.setdefault(name, fn)
+        for name, sql in relational.ORACLES.items():
+            oracles.setdefault(name, sql)
     n_pass = n_fail = n_skip = 0
     for name, fn in qs.items():
         if prefixes and not any(name.startswith(p) for p in prefixes):
