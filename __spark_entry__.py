@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kgforge import pipeline, streaming
 
     # The driver records ~50 CORRECTNESS rows per round (50/55 in r1,
-    # 50/66 in r2), so the registry is consolidated to 48 names: cheap
+    # 50/66 in r2), so the registry is consolidated to 50 names: cheap
     # operator families are bundled into melted compound queries
     # (relational._COMPOUNDS — every original cell still value-hash-
     # compared against the identically-melted DuckDB oracle) while the

@@ -299,16 +299,145 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("a", "b")
 
 
+def dd_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-EXACT simhash twin: signature -> banded-chunk blocking ->
+    hamming verification, formulated so DuckDB computes bit-identical
+    signatures (closing the round-3 gap where dd_simhash was the only
+    dedup query without a hash-green driver row).
+
+    Same pipeline shape as dd_simhash, different token hash: first 60
+    bits of md5(token) (hex digits folded to a BIGINT — md5 is the one
+    64-bit-capable hash both engines share), 60-bit majority bit-vote
+    signature, 4x15-bit chunk-equality blocking with the hub-chunk cap
+    (chunks with 2..MAX_LSH_BLOCK members kept, same no-silent-caps
+    discipline), verification = bit_count(xor) <= 12. Every stage is
+    JVM built-ins — no UDF, whole-stage codegen end to end; the Arrow
+    crc32 variant (dd_simhash) stays as the throughput path since md5
+    costs ~3x crc32 per token. Reference test-shape analog: the
+    source-vs-dest reconciliation queries
+    (Oracle/PCORNetLoader_ora.sql:2451-2565)."""
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    hv = tf.withColumn("hx", F.substring(F.md5("tok"), 1, 15)).withColumn(
+        "hv",
+        F.expr(
+            "aggregate(sequence(1,15), CAST(0 AS BIGINT), (acc, p) -> "
+            "acc * 16 + CAST(instr('0123456789abcdef', substr(hx, p, 1)) - 1 AS BIGINT))"
+        ),
+    )
+    votes = (
+        hv.select(
+            "doc_id", "w", "hv", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i")
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.expr("w * (2 * (shiftright(hv, CAST(i AS INT)) & CAST(1 AS BIGINT)) - 1)")
+            ).alias("v")
+        )
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(f"shiftright(simhash, {15 * j}) & CAST(32767 AS BIGINT)").alias(
+                            "chunk"
+                        ),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    keep = (
+        bands.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= MAX_LSH_BLOCK))
+        .select("band", "chunk")
+    )
+    b_ok = bands.join(F.broadcast(keep), ["band", "chunk"])
+    L = b_ok.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "band", "chunk")
+    R = b_ok.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "band", "chunk")
+    return (
+        L.join(R, ["band", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_DD_SIMHASH_VERIFY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*)::BIGINT AS w FROM toks WHERE tok <> ''
+  GROUP BY doc_id, tok
+), hv AS (
+  SELECT doc_id, w,
+         list_sum(list_transform(range(1,16),
+           p -> (strpos('0123456789abcdef', substr(md5(tok), p, 1)) - 1)::BIGINT
+                << (4*(15-p))))::BIGINT AS hv
+  FROM tf
+), votes AS (
+  SELECT doc_id, i, SUM(w * (2 * ((hv >> i) & 1) - 1)) AS v
+  FROM hv CROSS JOIN range(0,60) t(i) GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, j AS band, (simhash >> (15*j)) & 32767 AS chunk
+  FROM sig CROSS JOIN range(0,4) b(j)
+), keep AS (
+  SELECT band, chunk FROM bands GROUP BY band, chunk
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {MAX_LSH_BLOCK}
+), b_ok AS (
+  SELECT bands.* FROM bands JOIN keep USING (band, chunk)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+FROM b_ok x JOIN b_ok y
+  ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
+    "dd_simhash_verify": dd_simhash_verify,
 }
 
 ORACLES = {
     "dd_exact": ORACLE_DD_EXACT,
     "dd_ngram_jaccard": ORACLE_DD_NGRAM_JACCARD,
     "dd_minhash_lsh": ORACLE_DD_MINHASH_LSH,
-    # dd_simhash: intentionally no oracle (approximate signature op)
+    # dd_simhash: intentionally no oracle (approximate crc32+splitmix
+    # signatures have no SQL equivalent); dd_simhash_verify is the
+    # hash-green twin covering the identical pipeline shape
+    "dd_simhash_verify": ORACLE_DD_SIMHASH_VERIFY,
 }

@@ -349,14 +349,118 @@ SELECT a, b, cos FROM scored WHERE cos >= 0.95 ORDER BY a, b
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF re-rank with an exact oracle (axis-aligned coarse quantizer)
+# ---------------------------------------------------------------------------
+
+RERANK_CELLS = 16
+RERANK_NPROBE = 8
+
+
+def sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-EXACT IVF twin: the identical probe -> cell-equi-join ->
+    bounded-candidate -> exact re-rank plan as sim_topk_ivf, with the
+    trained k-means quantizer swapped for a deterministic SQL-expressible
+    one (cell = argmax component among the first 16 dims — axis-aligned
+    centroids; queries probe their top-8 components' cells). Closes the
+    round-3 gap where IVF's final-stage exact re-ranking had no
+    hash-green driver row: here every stage, including candidate
+    generation, is independently recomputed by DuckDB and the top-k must
+    match cell-for-cell. The trained quantizer stays in sim_topk_ivf as
+    the recall path (pytest >= 0.9 on clustered data); this query proves
+    the re-rank machinery (window over bounded candidates, 9dp-rounded
+    cosine, deterministic tiebreak) exact at any scale."""
+    e = read_table(spark, "embeddings", sf_dir)
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pos = v.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(RERANK_CELLS - 1))).alias("i"),
+        "v",
+    ).select("vec_id", "i", F.element_at("v", F.col("i") + 1).alias("val"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("val"), F.asc("i"))
+    ranked = pos.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("i").alias("cell"))
+    probes = ranked.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("rn") <= RERANK_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("i").alias("cell"))
+    cand = v.join(assign, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "cell"
+    )
+    q = (
+        v.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .join(probes, "query_id")
+    )
+    scored = (
+        q.join(cand, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_norm_dot(F.col("qv"), F.col("cv")), 9).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "cand_id", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+ORACLE_SIM_IVF_RERANK = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, i, v[(i+1)::INT] AS val
+  FROM v CROSS JOIN range(0,{RERANK_CELLS}) t(i)
+), ranked AS (
+  SELECT vec_id, i,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY val DESC, i ASC) AS rn
+  FROM pos
+), assign AS (
+  SELECT vec_id, i AS cell FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, i AS cell FROM ranked
+  WHERE rn <= {RERANK_NPROBE} AND vec_id % 50 = 0
+), cand AS (
+  SELECT a.vec_id AS cand_id, v.v AS cv, a.cell
+  FROM assign a JOIN v ON v.vec_id = a.vec_id
+), q AS (
+  SELECT p.query_id, v.v AS qv, p.cell
+  FROM probes p JOIN v ON v.vec_id = p.query_id
+), scored AS (
+  SELECT query_id, cand_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * qv[i])))
+            * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i] * cv[i])))),
+         9) AS cos
+  FROM q JOIN cand USING (cell) WHERE query_id <> cand_id
+)
+SELECT query_id, rnk, cand_id, cos FROM (
+  SELECT query_id, cand_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
+    "sim_ivf_rerank": sim_ivf_rerank,
     "sim_neardup_cosine": sim_neardup_cosine,
 }
 
 ORACLES = {
     "sim_topk_bruteforce": ORACLE_SIM_TOPK_BRUTEFORCE,
-    # sim_topk_ivf: intentionally no oracle (approximate ANN)
+    # sim_topk_ivf: intentionally no oracle (trained quantizer = approx
+    # ANN); sim_ivf_rerank is the hash-green twin of the same plan shape
+    "sim_ivf_rerank": ORACLE_SIM_IVF_RERANK,
     "sim_neardup_cosine": ORACLE_SIM_NEARDUP_COSINE,
 }

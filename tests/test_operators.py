@@ -386,6 +386,58 @@ def test_neardup_cosine_blocked_no_cartesian(spark, sf01):
     assert rows == expected
 
 
+def test_simhash_verify_nonvacuous_and_blocked(spark, sf01):
+    """The oracle-exact simhash twin must (a) emit a non-trivial verified
+    pair set (a 0-row hash match would prove nothing — the anti-join
+    lesson from round 3), (b) keep every pair within the hamming bound
+    with a < b, and (c) plan as equi-joins on chunk keys, never a
+    cartesian."""
+    import contextlib
+    import io
+
+    from kgforge.operators.dedup import dd_simhash_verify
+
+    df = dd_simhash_verify(spark, sf01)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["a"] < r["b"] and 0 <= r["hamming"] <= 12 for r in rows)
+
+
+def test_ivf_rerank_topk_invariants(spark, sf01):
+    """The oracle-exact IVF re-rank twin: per-query ranks are contiguous
+    from 1, capped at TOP_K, cos is non-increasing within a query, and
+    the plan joins on the cell key (no cartesian — the whole point of
+    probing is that candidates are bounded)."""
+    import contextlib
+    import io
+
+    from kgforge.operators.similarity import TOP_K, sim_ivf_rerank
+
+    df = sim_ivf_rerank(spark, sf01)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    by_q = {}
+    for r in df.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["cos"]))
+    assert by_q, "no query produced results"
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1)), qid
+        assert len(rows) <= TOP_K
+        coss = [c for _, c in rows]
+        assert coss == sorted(coss, reverse=True), qid
+
+
 def test_write_triples_publish_paths(spark, tmp_path):
     """write_triples takes the Iceberg path for table identifiers when
     the catalog exists, the pred-partitioned parquet path otherwise, and
