@@ -1,17 +1,24 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Images/audio/video travel as `binary` columns with struct metadata; the
-Spark-side machinery that matters at scale — schema, partitioning,
-Arrow batch shape, UDF signatures — is real and tested here. The codec
-step itself is STUBBED (the image/audio libraries are not in this
-container): `decode_image_stub` raises NotImplementedError, and the
-deterministic fake parser stands in so the plumbing is end-to-end
-testable (FIXTURES/multimodal note in the task brief).
+Images/audio/video travel as `binary` columns with struct metadata. The
+metadata-extraction step is REAL since round 4: `parse_image_header`
+decodes PNG IHDR, GIF logical-screen, BMP BITMAPINFO/CORE, and JPEG
+SOF0/2 dimensions from raw header bytes in pure Python (no codec
+library needed — these are fixed-offset big/little-endian fields), and
+the driver queries run it over genuine in-format payloads built by
+`build_image` (valid magic numbers, CRC'd PNG IHDR, well-formed JPEG
+marker segments). Only PIXEL work (resampling, frame decode, model
+inference) remains faked, because actual codecs/models are not in this
+container; the Spark-side shape of those steps — mapInPandas batch
+iterators, explicit StructTypes, bounded per-task memory — is real and
+tested.
 """
 
 from __future__ import annotations
 
-import numpy as np
+import struct
+import zlib
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,51 +26,177 @@ from pyspark.sql import types as T
 
 from kgforge.sources import read_table
 
+IMG_FORMATS = ("png", "gif", "bmp", "jpeg")
+
+# fixed header-prefix size per format as built by build_image: the
+# oracle derives byte_len as this constant + the trailer length
+HEADER_BYTES = {"png": 33, "gif": 13, "bmp": 54, "jpeg": 33}
+
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def build_image(fmt: str, w: int, h: int, trailer: bytes = b"") -> bytes:
+    """Minimal REAL image files: correct magic, correctly-encoded
+    dimension fields (BE for PNG/JPEG, LE for GIF/BMP), CRC'd PNG IHDR,
+    well-formed JPEG APP0+SOF0 segments. `trailer` carries arbitrary
+    payload bytes after the header (parsers stop at the dimension
+    fields), letting tests/oracles derive total size arithmetically."""
+    if fmt == "png":
+        ihdr = b"IHDR" + struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + ihdr
+            + struct.pack(">I", zlib.crc32(ihdr))
+            + trailer
+        )
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + trailer
+    if fmt == "bmp":
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(trailer), 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24)
+            + b"\x00" * 24
+            + trailer
+        )
+    if fmt == "jpeg":
+        app0 = (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        )
+        sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + trailer
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def parse_image_header(b: bytes | None) -> tuple[str, int, int] | None:
+    """Pure-Python image metadata extraction from header bytes — returns
+    (format, width, height) or None for non-image payloads.
+
+    - PNG: 8-byte magic, IHDR chunk at a fixed offset, 32-bit BE dims.
+    - GIF87a/89a: logical-screen 16-bit LE dims at offset 6.
+    - BMP: BITMAPINFOHEADER 32-bit LE signed dims (abs() covers
+      top-down rows) or legacy BITMAPCOREHEADER 16-bit dims.
+    - JPEG: walk marker segments from SOI until a SOF0/1/2/... frame
+      header; dims are 16-bit BE at fixed offsets inside it.
+    """
+    if not b:
+        return None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"BM" and len(b) >= 26:
+        hdr_size = int.from_bytes(b[14:18], "little")
+        if hdr_size >= 40:
+            return (
+                "bmp",
+                abs(int.from_bytes(b[18:22], "little", signed=True)),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+            )
+        if hdr_size == 12 and len(b) >= 22:
+            return (
+                "bmp",
+                int.from_bytes(b[18:20], "little"),
+                int.from_bytes(b[20:22], "little"),
+            )
+        return None
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in _JPEG_SOF:
+                if i + 9 <= len(b):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+    return None
+
+
 META_SCHEMA = T.StructType(
     [
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("byte_len", T.IntegerType()),
-        T.StructField("first_byte", T.IntegerType()),
-        T.StructField("head_checksum", T.LongType()),
     ]
 )
 
 
-def decode_image_stub(payload: bytes):  # pragma: no cover - deliberate stub
-    """Real decoder entry point. Wire Pillow/ffmpeg here on a cluster
-    with the codec libraries installed; the container lacks them."""
-    raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this "
-        "environment; use fake_meta for the plumbing path"
+def mm_synth_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic in-format payload synthesis: each doc becomes a real
+    PNG/GIF/BMP/JPEG (round-robin by doc_id) whose dimensions derive
+    from the utf-8 text length (w = 16 + n % 241, h = 16 + n//7 % 181)
+    and whose body carries the text bytes as trailer. mapInPandas batch
+    shape — same plumbing a real fetch-and-store stage uses."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
     )
 
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                data = txt.encode("utf-8") if txt is not None else b""
+                n = len(data)
+                payloads.append(
+                    build_image(
+                        IMG_FORMATS[int(did) % 4], 16 + n % 241, 16 + (n // 7) % 181, data
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-def fake_meta(payload: bytes | None):
-    """Deterministic fake 'decode': byte length, first byte, and a
-    checksum over the first 64 bytes — stands in for width/height/codec
-    extraction with identical Spark-side plumbing."""
-    if payload is None:
-        return None
-    head = payload[:64]
-    return (len(payload), head[0] if head else 0, int(sum(head)) % 997)
+    return df.mapInPandas(run, out_schema)
 
 
 def mm_extract_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """mapInPandas over binary batches — the per-partition batch-iterator
-    shape a real frame-sampler/resizer uses (one Arrow batch in, one
-    out, bounded memory per task)."""
+    """Real metadata extraction over binary batches: parse_image_header
+    per payload inside mapInPandas (one Arrow batch in, one out, bounded
+    memory per task). Non-image payloads degrade to fmt=\'raw\' with null
+    dimensions rather than failing the batch."""
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), *META_SCHEMA.fields]
     )
 
     def run(batches):
         for pdf in batches:
-            metas = pdf[payload_col].map(fake_meta)
+            metas = pdf[payload_col].map(parse_image_header)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": metas.map(lambda m: m[0] if m else None),
-                    "first_byte": metas.map(lambda m: m[1] if m else None),
-                    "head_checksum": metas.map(lambda m: m[2] if m else None),
+                    "fmt": metas.map(lambda m: m[0] if m else "raw"),
+                    "width": metas.map(lambda m: m[1] if m else None),
+                    "height": metas.map(lambda m: m[2] if m else None),
+                    "byte_len": pdf[payload_col].map(
+                        lambda b: len(b) if b is not None else None
+                    ),
                 }
             )
 
@@ -71,22 +204,25 @@ def mm_extract_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable variant: the binary payload is the utf-8 encoding
-    of documents.text (deterministic in both engines), run through the
-    REAL mapInPandas plumbing."""
-    d = read_table(spark, "documents", sf_dir).select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
-    return mm_extract_meta(d).orderBy("doc_id")
+    """Driver-checkable variant: synthesize real in-format payloads from
+    documents.text, then extract REAL width/height/format via the header
+    parser. The oracle recomputes the expected values arithmetically
+    (dims from text length, byte_len from the per-format header size) —
+    a wrong endianness, offset, or magic branch in the parser breaks the
+    hash."""
+    d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return mm_extract_meta(mm_synth_payloads(d)).orderBy("doc_id")
 
 
-# text is ASCII word-salad, so byte arithmetic == char arithmetic
 ORACLE_MM_META = """
 SELECT doc_id,
-       CAST(length(text) AS INT) AS byte_len,
-       CAST(ascii(text[1]) AS INT) AS first_byte,
-       CAST(list_sum(list_transform(string_split(text[1:64], ''),
-                                    c -> ascii(c))) % 997 AS BIGINT) AS head_checksum
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+       CAST(16 + length(text) % 241 AS INT) AS width,
+       CAST(16 + (length(text) // 7) % 181 AS INT) AS height,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
+                            WHEN 2 THEN 54 ELSE 33 END
+            + length(text) AS INT) AS byte_len
 FROM documents ORDER BY doc_id
 """
 
@@ -94,12 +230,12 @@ FROM documents ORDER BY doc_id
 # ---------------------------------------------------------------------------
 # Resize / frame-sample / feature-extract plumbing.
 #
-# The codec call is a deterministic fake (this container has no
-# image/audio libraries — decode_image_stub marks the real entry point),
-# but everything Spark cares about is real: mapInPandas batch iterators,
-# explicit output StructTypes, array columns for embeddings, explode for
-# per-frame rows. Fake "dimensions" derive from byte length so the same
-# arithmetic is expressible in the DuckDB oracle.
+# Dimension DECODE is real (parse_image_header over the actual payload
+# bytes); the pixel resample itself is where a codec would slot in —
+# this container has none, so the output is the computed target
+# geometry rather than pixel data. Everything Spark cares about is
+# real: mapInPandas batch iterators, explicit output StructTypes, array
+# columns for embeddings, explode for per-frame rows.
 # ---------------------------------------------------------------------------
 
 RESIZE_SCHEMA = T.StructType(
@@ -115,41 +251,45 @@ RESIZE_SCHEMA = T.StructType(
 RESIZE_TARGET = 128
 
 
-def fake_dims(n: int) -> tuple[int, int]:
-    """Deterministic fake decode of image dimensions from payload size."""
-    return 16 + n % 241, 16 + (n // 7) % 181
-
-
 def mm_resize_batch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Thumbnail-resize plumbing: decode dims, integer aspect-preserving
-    scale to RESIZE_TARGET on the long side. One Arrow batch in/out."""
+    """Thumbnail-resize plumbing: REAL header decode for the source
+    dimensions, integer aspect-preserving scale to RESIZE_TARGET on the
+    long side. Non-image payloads yield null geometry rather than
+    failing the batch. One Arrow batch in/out, bounded memory per
+    task."""
 
     def run(batches):
         for pdf in batches:
-            lens = pdf[payload_col].map(lambda b: len(b) if b is not None else 0)
-            w = 16 + lens % 241
-            h = 16 + (lens // 7) % 181
-            m = np.maximum(w, h)
-            out_w = w.where(m <= RESIZE_TARGET, w * RESIZE_TARGET // m)
-            out_h = h.where(m <= RESIZE_TARGET, h * RESIZE_TARGET // m)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "orig_w": w.astype("int32"),
-                    "orig_h": h.astype("int32"),
-                    "out_w": out_w.astype("int32"),
-                    "out_h": out_h.astype("int32"),
-                }
-            )
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "orig_w": [], "orig_h": [], "out_w": [], "out_h": [],
+            }
+            for b in pdf[payload_col]:
+                m = parse_image_header(b)
+                if m is None:
+                    for k in ("orig_w", "orig_h", "out_w", "out_h"):
+                        rows[k].append(None)
+                    continue
+                _, w, h = m
+                longest = max(w, h)
+                if longest <= RESIZE_TARGET:
+                    ow, oh = w, h
+                else:
+                    ow, oh = w * RESIZE_TARGET // longest, h * RESIZE_TARGET // longest
+                rows["orig_w"].append(w)
+                rows["orig_h"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+            yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, RESIZE_SCHEMA)
 
 
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, "documents", sf_dir).select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
-    return mm_resize_batch(d).orderBy("doc_id")
+    """Driver-checkable variant: real in-format payloads (see mm_meta),
+    real header decode, arithmetic oracle."""
+    d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return mm_resize_batch(mm_synth_payloads(d)).orderBy("doc_id")
 
 
 ORACLE_MM_RESIZE = """

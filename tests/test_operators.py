@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kgforge.operators.dedup import dd_exact, dd_minhash_lsh, dd_ngram_jaccard, dd_simhash
-from kgforge.operators.multimodal import decode_image_stub, fake_meta, mm_extract_meta
+from kgforge.operators.multimodal import build_image, mm_extract_meta, parse_image_header
 from kgforge.operators.similarity import sim_topk_bruteforce, sim_topk_ivf
 from kgforge.streaming import run_stream_parity
 
@@ -147,40 +147,70 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert ts(12, 0) not in emitted and ts(12, 30) not in emitted
 
 
-def test_multimodal_stub_and_plumbing(spark):
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG")
-    assert fake_meta(b"abc") == (3, 97, (97 + 98 + 99) % 997)
-    assert fake_meta(None) is None
+def test_image_header_parser_roundtrip():
+    """parse_image_header must recover the exact dimensions build_image
+    encoded, for every format, across endianness-revealing sizes (w != h,
+    both > 255 so multi-byte fields are exercised), with trailing bytes
+    present; non-image payloads return None."""
+    for fmt in ("png", "gif", "bmp", "jpeg"):
+        for w, h in ((1, 1), (320, 257), (641, 480), (65535, 3)):
+            b = build_image(fmt, w, h, b"trailing payload bytes")
+            assert parse_image_header(b) == (fmt, w, h), (fmt, w, h)
+    # BMP top-down rows encode negative height; parser must abs() it
+    import struct
+
+    bmp = bytearray(build_image("bmp", 20, 30))
+    bmp[22:26] = struct.pack("<i", -30)
+    assert parse_image_header(bytes(bmp)) == ("bmp", 20, 30)
+    # JPEG parser must skip non-SOF segments before the frame header
+    assert parse_image_header(build_image("jpeg", 99, 44))[1:] == (99, 44)
+    for junk in (None, b"", b"abc", b"\x89PNGbutnotreally", b"\xff\xd8\x00junk"):
+        assert parse_image_header(junk) is None
+
+
+def test_multimodal_meta_plumbing(spark):
+    """mm_extract_meta over a mixed batch: real images parse to their
+    true dims, raw bytes degrade to fmt='raw' with null dims, None
+    payloads stay null."""
     df = spark.createDataFrame(
-        [(1, b"abc"), (2, b""), (3, None)], "doc_id long, payload binary"
+        [
+            (1, build_image("png", 12, 34, b"x" * 100)),
+            (2, build_image("jpeg", 300, 200)),
+            (3, b"not an image"),
+            (4, None),
+        ],
+        "doc_id long, payload binary",
     )
     rows = {r["doc_id"]: r for r in mm_extract_meta(df).collect()}
-    assert rows[1]["byte_len"] == 3 and rows[1]["first_byte"] == 97
-    assert rows[2]["byte_len"] == 0 and rows[2]["first_byte"] == 0
-    assert rows[3]["byte_len"] is None
+    assert (rows[1]["fmt"], rows[1]["width"], rows[1]["height"]) == ("png", 12, 34)
+    assert rows[1]["byte_len"] == 33 + 100
+    assert (rows[2]["fmt"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 300, 200)
+    assert rows[3]["fmt"] == "raw" and rows[3]["width"] is None
+    assert rows[4]["byte_len"] is None
 
 
 def test_multimodal_resize_and_embed_plumbing(spark):
     from kgforge.operators.multimodal import (
         EMBED_DIM,
         RESIZE_TARGET,
-        fake_dims,
         mm_embed_batch,
         mm_resize_batch,
     )
 
     df = spark.createDataFrame(
-        [(1, b"x" * 10), (2, b"y" * 5000), (3, None)],
+        [
+            (1, build_image("gif", 100, 50)),
+            (2, build_image("bmp", 1000, 400)),
+            (3, None),
+        ],
         "doc_id long, payload binary",
     )
     rz = {r["doc_id"]: r for r in mm_resize_batch(df).collect()}
-    for i, n in ((1, 10), (2, 5000), (3, 0)):
-        w, h = fake_dims(n)
-        assert (rz[i]["orig_w"], rz[i]["orig_h"]) == (w, h)
-        assert max(rz[i]["out_w"], rz[i]["out_h"]) <= RESIZE_TARGET
-        if max(w, h) <= RESIZE_TARGET:
-            assert (rz[i]["out_w"], rz[i]["out_h"]) == (w, h)
+    assert (rz[1]["orig_w"], rz[1]["orig_h"]) == (100, 50)
+    assert (rz[1]["out_w"], rz[1]["out_h"]) == (100, 50)  # under target: no scale
+    assert (rz[2]["orig_w"], rz[2]["orig_h"]) == (1000, 400)
+    assert (rz[2]["out_w"], rz[2]["out_h"]) == (RESIZE_TARGET, 400 * RESIZE_TARGET // 1000)
+    assert rz[3]["orig_w"] is None and rz[3]["out_w"] is None
 
     em = {r["doc_id"]: r["feat"] for r in mm_embed_batch(df).collect()}
     assert all(len(v) == EMBED_DIM for v in em.values())
