@@ -166,8 +166,19 @@ def incremental_update(
     sig_path = _ensure_signature_sidecar(spark, out_dir)
     # dropDuplicates: a crash between the sidecar append and the batch
     # rename re-appends the same (url, sig) rows on retry; signatures
-    # are deterministic per url so keeping any one copy is exact
-    base_sigs = spark.read.parquet(sig_path).dropDuplicates(["url"])
+    # are deterministic per url so keeping any one copy is exact.
+    # The left-semi against the committed mappings (base + every visible
+    # increment — both carry identity rows for ALL their urls) drops
+    # ORPHANED sidecar rows from a crash in the append-then-rename
+    # window: without it, the crashed batch's own urls sit on the BASE
+    # side of the block join on retry and the resulting self/new-new
+    # pairs inflate n_new_base_edges / n_capped_blocks (the mapping was
+    # always safe — orphans miss base_mapping — but metrics lied).
+    base_sigs = (
+        spark.read.parquet(sig_path)
+        .dropDuplicates(["url"])
+        .join(base_mapping.select("url"), "url", "left_semi")
+    )
 
     dic = O.propagate_hierarchy(O.clean_dictionary(spark.read.parquet(dict_path)))
     aliases = [

@@ -358,3 +358,63 @@ def test_incremental_equals_full_refresh_modulo_reps(
         .collect()
     )
     assert full == inc
+
+
+def test_orphaned_sidecar_rows_do_not_inflate_metrics(
+    spark, fixture_dir, tmp_path_factory
+):
+    """Crash-window regression (round-4 ADVICE): a crash BETWEEN the
+    signature-sidecar append and the atomic batch rename leaves the
+    batch's sigs in the sidecar with no committed batch. On retry those
+    orphaned rows used to appear on the BASE side of the new-vs-base
+    block join, so the batch's own pages generated self/new-new pairs
+    that inflated n_new_base_edges and n_capped_blocks. The left-semi
+    against committed mappings must exclude them entirely."""
+    import datetime as dt
+
+    from kgforge import canon as C
+    from kgforge.extract import extract_pages
+    from kgforge.incremental import _ensure_signature_sidecar
+
+    d = tmp_path_factory.mktemp("incr_crash")
+    out = str(d / "base")
+    dict_path = f"{fixture_dir}/concept_dict.parquet"
+    run_pipeline(
+        spark,
+        pages_path=f"{fixture_dir}/pages.parquet",
+        dict_path=dict_path,
+        out_dir=out,
+        langs=("en",),
+    )
+    text = "orphan sidecar crash window text never seen in the base corpus at all"
+    rows = [
+        _mk_page("https://crash.example.com/x", dt.datetime(2024, 7, 1), text),
+        _mk_page("https://crash.example.com/y", dt.datetime(2024, 7, 2), text),
+    ]
+    p = str(d / "pages.parquet")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(p)
+
+    # simulate the crashed first attempt: sidecar append happened, the
+    # batch dir rename did not
+    sig_path = _ensure_signature_sidecar(spark, out)
+    ext = extract_pages(spark.read.parquet(p), ("en",))
+    C.minhash_signatures(ext, "text", "url").write.mode("append").parquet(sig_path)
+
+    info = incremental_update(spark, out, p, dict_path)
+    # the batch's own pages must NOT count as new-vs-base edges: their
+    # only near-dups are each other (batch-internal) and the orphaned
+    # sidecar copies of themselves
+    assert info["n_new_base_edges"] == 0
+    assert info["n_capped_blocks"] == 0
+    # the pair still collapses batch-internally to one canonical subject
+    mapping = {
+        r["url"]: r["canon_url"]
+        for r in spark.read.parquet(f"{out}/increments/batch-00001/mapping").collect()
+    }
+    assert (
+        mapping["https://crash.example.com/x"]
+        == mapping["https://crash.example.com/y"]
+        == "https://crash.example.com/x"
+    )
