@@ -27,9 +27,11 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -258,20 +260,60 @@ def verify_pairs_jaccard(
     )
 
 
-LOCAL_CC_THRESHOLD = 500_000
+# Local/distributed CC cutover policy: the driver-side union-find holds
+# ~LOCAL_CC_EDGE_BYTES per edge in Python (two boxed ints, the tuple,
+# and the parent-dict slots — measured with sys.getsizeof on 64-bit
+# CPython), and may spend at most LOCAL_CC_MEM_FRACTION of the
+# configured driver heap. At 100x corpus the verified-edge set grows
+# with near-dup density, so a fixed edge-count constant silently moves
+# the driver-OOM line as deployments resize; deriving it from
+# spark.driver.memory moves the line WITH the deployment. Bounds keep
+# the policy sane when the conf is exotic (LOCAL_CC_MAX also bounds the
+# limit()-probe cost paid before choosing the distributed branch).
+LOCAL_CC_EDGE_BYTES = 120
+LOCAL_CC_MEM_FRACTION = 0.05
+LOCAL_CC_MIN = 10_000
+LOCAL_CC_MAX = 5_000_000
+
+_MEM_RE = re.compile(r"^\s*(\d+)\s*([kmgt]?)b?\s*$", re.IGNORECASE)
+_MEM_MULT = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _parse_mem_bytes(s: str | None) -> int:
+    """JVM-style memory string ('512m', '64g') -> bytes; unparseable or
+    absent defaults to the Spark driver default of 1g."""
+    m = _MEM_RE.match(s or "")
+    if not m:
+        return 1024**3
+    return int(m.group(1)) * _MEM_MULT[m.group(2).lower()]
+
+
+def local_cc_threshold(spark: SparkSession) -> int:
+    """Edge count below which connected_components collects to a driver
+    union-find, derived from the session's spark.driver.memory (see the
+    policy note above). 1g driver -> ~447k edges — continuous with the
+    fixed 500k constant this replaces."""
+    budget = _parse_mem_bytes(
+        spark.conf.get("spark.driver.memory", None)
+    ) * LOCAL_CC_MEM_FRACTION
+    return int(min(max(budget // LOCAL_CC_EDGE_BYTES, LOCAL_CC_MIN), LOCAL_CC_MAX))
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, force_distributed: bool = False
+    edges: DataFrame,
+    max_iter: int = 20,
+    force_distributed: bool = False,
+    info: dict | None = None,
 ) -> DataFrame:
     """Connected components. Input: edges(src, dst). Output:
     (node, component) with component = min node id in the component.
 
     Adaptive execution: the similarity-edge set after exact verification
     is tiny relative to the corpus (only true near-duplicate pairs
-    survive). Below LOCAL_CC_THRESHOLD edges a driver-side union-find is
-    milliseconds, where each distributed round costs multiple scheduled
-    jobs. Above the threshold, the min-label-propagation loop runs with
+    survive). Below the memory-derived local_cc_threshold a driver-side
+    union-find is milliseconds, where each distributed round costs
+    multiple scheduled jobs. Above the threshold, the
+    min-label-propagation loop runs with
     localCheckpoint per round to cut lineage — the iteration is job
     control, not a Catalyst concern (SURVEY.md §4); converges in
     O(log n) rounds for min-propagation and the per-round convergence
@@ -286,14 +328,27 @@ def connected_components(
     checkpoint both the probe and every consumer read materialized
     blocks; the verification UDF runs exactly once (pytest-asserted via
     accumulator in tests/test_canon.py).
+
+    The caller can pass `info` (a dict) to receive the branch decision:
+    {"branch", "n_edges_probed", "threshold"} — canonicalize surfaces it
+    as a metrics row so runs record which regime executed.
     """
     edges = edges.localCheckpoint(eager=True)
+    threshold = local_cc_threshold(edges.sparkSession)
     if not force_distributed:
-        # cheap probe on the materialized frame; no 500k-row driver
-        # fetch wasted on the distributed branch
-        n = edges.limit(LOCAL_CC_THRESHOLD + 1).count()
-        if n <= LOCAL_CC_THRESHOLD:
+        # cheap probe on the materialized frame; no threshold-sized
+        # driver fetch wasted on the distributed branch
+        n = edges.limit(threshold + 1).count()
+        if info is not None:
+            info.update(
+                branch="local" if n <= threshold else "distributed",
+                n_edges_probed=n,
+                threshold=threshold,
+            )
+        if n <= threshold:
             return _cc_local(edges)
+    elif info is not None:
+        info.update(branch="distributed", n_edges_probed=None, threshold=threshold)
     return _cc_distributed(edges, max_iter)
 
 
@@ -407,9 +462,24 @@ def canonicalize(
     # exactly once on either branch
     pages_iid = pages.select(iid, F.col(id_col), F.col(text_col))
     verified = verify_pairs_jaccard(pairs, pages_iid, threshold, "iid", text_col)
+    cc_info: dict = {}
     comps = connected_components(
-        verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        verified.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        info=cc_info,
     )
+    # record which CC regime ran (and at what probed edge count /
+    # threshold) alongside the capped-block metrics — run evidence for
+    # the memory-derived cutover policy
+    if cc_info:
+        spark = pages.sparkSession
+        cc_rows = spark.createDataFrame(
+            [
+                ("cc_branch", cc_info["branch"], int(cc_info["n_edges_probed"] or 0)),
+                ("cc_threshold", cc_info["branch"], int(cc_info["threshold"])),
+            ],
+            "metric string, key string, value long",
+        )
+        metrics = metrics.select("metric", F.col("key").cast("string"), F.col("value").cast("long")).unionByName(cc_rows)
     # translate component ids back to urls; representative = min url.
     # node_urls and reps are O(pages in some near-dup component) — tiny
     # relative to the corpus — so both joins broadcast
