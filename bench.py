@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOAD_AT_START = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
 
 HEADLINE = [
     "rel_pricing_summary",
@@ -109,9 +110,14 @@ def main() -> int:
                     pass
         P._KG_STAGE_CACHE.clear()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # 4 passes by default (r03 VERDICT: best-of-2 wasn't enough to dodge
+    # the box's noise windows); two budget guards keep the worst case
+    # bounded — stop if a single pass blows 100s or the suite has already
+    # spent 240s across passes.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
     n_triples = 0
     passes: list[dict[str, float]] = []
+    bench_t0 = time.time()
     for it in range(max(1, repeats)):
         reset_kg_cache()
         cur: dict[str, float] = {}
@@ -125,7 +131,7 @@ def main() -> int:
                 materialize(df)
             cur[name] = time.time() - t0
         passes.append(cur)
-        if sum(cur.values()) > 100.0:
+        if sum(cur.values()) > 100.0 or time.time() - bench_t0 > 240.0:
             break
     timings = {
         name: round(min(p[name] for p in passes), 3) for name in HEADLINE
@@ -143,6 +149,10 @@ def main() -> int:
         # best-of-k like every other query. Compare kg_* round-over-round
         # with that in mind.
         "kg_timing": "best_of_k_recomputed_per_pass",
+        # co-tenancy evidence: 1-min load average sampled before the
+        # suite started — readers should weight this run accordingly
+        # (BENCH/BASELINE.md noise section: ±40-55% swings under load)
+        "load_avg_at_start": LOAD_AT_START,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
