@@ -433,10 +433,17 @@ def canonicalize(
     n_perms: int = MINHASH_PERMS,
     n_bands: int = LSH_BANDS,
     max_block: int = MAX_LSH_BLOCK,
+    info: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full canonicalization: near-duplicate pages collapse to one
     canonical subject (min url in each component). Returns
     (mapping(url, canon_url), metrics).
+
+    `info`, when passed, receives connected_components' branch decision
+    ({branch, n_edges_probed, threshold}) the moment this returns — the
+    CC probe is eager, so callers that must persist the decision without
+    forcing the (lazy, block-table-sized) metrics frame can write these
+    three scalars instead (run_pipeline does, to _metrics_canon).
 
     The blocking stages shuffle 8-byte xxhash64 ids ("iid") instead of
     ~50-byte url strings — 3-6x less exchange volume through the
@@ -467,6 +474,8 @@ def canonicalize(
         verified.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         info=cc_info,
     )
+    if info is not None:
+        info.update(cc_info)
     # record which CC regime ran (and at what probed edge count /
     # threshold) alongside the capped-block metrics — run evidence for
     # the memory-derived cutover policy

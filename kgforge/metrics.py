@@ -46,15 +46,19 @@ def triple_report(triples: DataFrame) -> DataFrame:
     )
 
 
-def write_metrics(metrics: DataFrame, out_dir: str, run_id: str) -> None:
+def write_metrics(
+    metrics: DataFrame, out_dir: str, run_id: str, name: str = "_metrics"
+) -> None:
     (
         metrics.withColumn("run_id", F.lit(run_id))
         .withColumn("recorded_at", F.lit(int(time.time())))
         .coalesce(1)
         .write.mode("append")
-        .parquet(f"{out_dir}/_metrics")
+        .parquet(f"{out_dir}/{name}")
     )
 
 
-def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/_metrics")
+def read_metrics(
+    spark: SparkSession, out_dir: str, name: str = "_metrics"
+) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/{name}")

@@ -89,9 +89,15 @@ def run_pipeline(
     candidates = cp.run_stage(
         "candidates", lambda: link_mentions(mentions, dic), fp_mentions
     )
+    # canon_info receives the CC branch decision (local vs distributed
+    # union-find, probed edge count, memory-derived threshold) — run
+    # evidence for the cutover policy. Populated only when the stage
+    # actually computes: on resume the decision belongs to the run that
+    # produced the checkpoint, so nothing is (re-)recorded.
+    canon_info: dict = {}
     mapping = cp.run_stage(
         "canon_mapping",
-        lambda: C.canonicalize(extracted, threshold=threshold)[0],
+        lambda: C.canonicalize(extracted, threshold=threshold, info=canon_info)[0],
         fp_canon,
     )
     triples = cp.run_stage(
@@ -114,6 +120,21 @@ def run_pipeline(
     )
     report = triple_report(triples)
     write_metrics(report, out_dir, run_id)
+    if canon_info:
+        # three literal scalars, already computed by the eager CC probe —
+        # persisting them costs one tiny parquet append, never a job over
+        # the block table (which the full canonicalize metrics frame
+        # would re-aggregate)
+        cc_rows = spark.createDataFrame(
+            [
+                ("cc_branch", canon_info["branch"],
+                 int(canon_info["n_edges_probed"] or 0)),
+                ("cc_threshold", canon_info["branch"],
+                 int(canon_info["threshold"])),
+            ],
+            "metric string, key string, value long",
+        )
+        write_metrics(cc_rows, out_dir, run_id, name="_metrics_canon")
     # rows_out was counted once by the checkpoint manager when the stage
     # materialized — do not re-scan the triple table just to repeat it
     n_triples = next(

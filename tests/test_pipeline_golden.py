@@ -71,8 +71,26 @@ def test_reconciliation_counts(spark, run_out):
         assert abs(n_subj_approx - n_subj_exact) <= max(0.1 * n_subj_exact, 2), pred
 
 
+def test_canon_branch_metrics_recorded(spark, run_out):
+    """run_pipeline persists the CC regime decision (round-4 VERDICT:
+    'log which branch ran + edge count to metrics') — two rows in
+    _metrics_canon: cc_branch carries the probed edge count, cc_threshold
+    the memory-derived cutover, both tagged with the branch name."""
+    out, _ = run_out
+    m = {
+        r["metric"]: r
+        for r in spark.read.parquet(f"{out}/_metrics_canon").collect()
+    }
+    assert set(m) == {"cc_branch", "cc_threshold"}
+    assert m["cc_branch"]["key"] in ("local", "distributed")
+    assert m["cc_branch"]["value"] >= 0
+    assert m["cc_threshold"]["value"] >= 10_000
+    assert m["cc_branch"]["run_id"] == m["cc_threshold"]["run_id"]
+
+
 def test_resume_skips_completed_stages(spark, fixture_dir, run_out):
     out, _ = run_out
+    before = spark.read.parquet(f"{out}/_metrics_canon").count()
     info2 = run_pipeline(
         spark,
         pages_path=f"{fixture_dir}/pages.parquet",
@@ -81,6 +99,9 @@ def test_resume_skips_completed_stages(spark, fixture_dir, run_out):
         langs=("en",),
     )
     assert all(s["skipped"] for s in info2["stages"])
+    # a resumed canon stage records nothing: the branch decision belongs
+    # to the run that computed the checkpoint
+    assert spark.read.parquet(f"{out}/_metrics_canon").count() == before
 
 
 def test_kill_and_rerun_produces_identical_triples(spark, fixture_dir, tmp_path_factory):
