@@ -115,3 +115,26 @@ def test_entity_graph_projection(spark):
         ("a", "b"),
         ("b", "q1"),
     ]
+
+
+def test_entity_salience_over_emitted_kg(spark):
+    """Integration: PageRank over the pipeline's own materialized KG
+    (page→concept link edges + sameAs) — concept salience. Nodes that
+    are never a link target have zero inflow, so they all sit at the
+    exact zero-inflow floor (1-a)/N + a*dangling/N, every link target
+    strictly outranks them, and ranks sum to 1 under the dangling-mass
+    redistribution."""
+    import __spark_entry__ as se
+
+    t = se.queries()["kg_triples"](spark, "/root/testdata/sf0.001")
+    e = entity_graph(t, ["hasTopic", "hasOrg", "hasPlace", "hasMetric", "sameAs"])
+    ranks = pagerank(e, max_iter=20, tol=1e-10)
+    rows = ranks.collect()
+    assert len(rows) > 0
+    assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    targets = {r["dst"] for r in e.select("dst").distinct().collect()}
+    floor = [r["rank"] for r in rows if r["node"] not in targets]
+    linked = [r["rank"] for r in rows if r["node"] in targets]
+    assert floor and linked
+    assert max(floor) == pytest.approx(min(floor), abs=1e-12)  # one shared floor
+    assert min(linked) > max(floor)  # every link target outranks it
