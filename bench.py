@@ -46,6 +46,7 @@ HEADLINE = [
     "kg_measurements",
     "kg_spans",
     "kg_relations",
+    "kg_graph",
     "kg_triples",
 ]
 

@@ -1,6 +1,8 @@
 """Graph analytics over materialized triple sets — the "graph" half of
-the north rule's "graph materialize": entity salience (PageRank) and
-k-hop neighborhood expansion as checkpointed DataFrame iterations.
+the north rule's "graph materialize": entity salience (PageRank), k-hop
+neighborhood expansion, structural statistics (degree / exact triangle
+count / local clustering coefficient), and label-propagation community
+detection, as checkpointed DataFrame iterations or one-shot joins.
 
 Reference parity: the reference emits relational CDM tables and has no
 graph analytics (nothing to cite); these are beyond-reference operators
@@ -152,6 +154,207 @@ def khop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def cooccurrence_edges(
+    page_entities: DataFrame,
+    max_entities_per_page: int = 64,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """page_entities(url, entity) -> distinct undirected edges (a, b)
+    with a < b: two entities are adjacent iff they are mentioned on at
+    least one common page and the Jaccard strength of their page sets,
+    |pages(a) ∩ pages(b)| / |pages(a) ∪ pages(b)|, is >= min_jaccard —
+    the standard strength-thresholded entity co-occurrence graph a
+    KG-construction pipeline materializes alongside its triples
+    (min_jaccard=0.0 keeps every co-occurring pair).
+
+    Scale: the per-page self-join fans out C(n_entities, 2) pairs, so
+    the one skew axis is entities-per-page; pages above
+    `max_entities_per_page` (boilerplate/link-farm pages whose
+    co-occurrence signal is noise anyway) are excluded by an explicit,
+    deterministic eligibility rule — the same HAVING predicate the SQL
+    oracle applies, so the cap can never silently diverge. Everything
+    after the fan-out carries only (entity, entity, count) rows, and
+    the Jaccard filter is one broadcast-sized join against the
+    per-entity page counts. The strength ratio is a single IEEE
+    division of exactly-representable integers, so the >= comparison
+    is bit-identical across engines.
+    """
+    pe = page_entities.select("url", "entity").distinct()
+    eligible = (
+        pe.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_ents"))
+        .filter(F.col("n_ents") <= max_entities_per_page)
+        .select("url")
+    )
+    pe = pe.join(eligible, "url", "left_semi")
+    a = pe.select("url", F.col("entity").alias("a"))
+    b = pe.select("url", F.col("entity").alias("b"))
+    pairs = (
+        a.join(b, "url")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    if min_jaccard <= 0.0:
+        return pairs.select("a", "b")
+    cnt = pe.groupBy("entity").agg(F.count(F.lit(1)).alias("n_pages"))
+    return (
+        pairs.join(cnt.select(F.col("entity").alias("a"), F.col("n_pages").alias("na")), "a")
+        .join(cnt.select(F.col("entity").alias("b"), F.col("n_pages").alias("nb")), "b")
+        .filter(
+            F.col("support").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("support"))
+            >= F.lit(min_jaccard)
+        )
+        .select("a", "b")
+    )
+
+
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts over undirected edges(a, b), a<b
+    distinct. Returns (node, n_tri) for every node in ≥1 triangle.
+
+    Degree-ordered orientation (the standard at-scale algorithm): each
+    undirected edge is directed from its lower (degree, node) endpoint
+    to the higher one, so every out-adjacency list is O(sqrt(m)) even
+    around hub nodes — the wedge join's fan-out is bounded by the
+    orientation, not by the raw degree distribution. Each triangle is
+    enumerated exactly once (at its lowest-ranked corner) and exploded
+    back to its three corners for the per-node counts. Triangle counts
+    are orientation-invariant, so the result equals the naive a<b<c
+    three-way self-join an oracle computes.
+    """
+    e = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    bi = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = bi.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    def rank(deg_col, node_col):
+        return F.struct(F.col(deg_col).alias("d"), F.col(node_col).alias("n"))
+
+    withdeg = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    oriented = withdeg.select(
+        F.when(rank("da", "a") < rank("db", "b"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("src"),
+        F.when(rank("da", "a") < rank("db", "b"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("dst"),
+        F.when(rank("da", "a") < rank("db", "b"), rank("db", "b"))
+        .otherwise(rank("da", "a"))
+        .alias("dst_rank"),
+    ).localCheckpoint(eager=True)
+
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("dst_rank").alias("xr")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("dst_rank").alias("yr")
+    )
+    wedges = e1.join(e2, "src").filter(F.col("xr") < F.col("yr"))
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+    corners = (
+        tris.select(F.col("src").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """Per-node structural statistics over undirected edges(a, b), a<b:
+    (node, degree, n_tri, clustering) where clustering is the local
+    clustering coefficient 2*n_tri / (degree*(degree-1)) (0.0 for
+    degree < 2). One shuffle for degrees, the oriented wedge join for
+    triangles, one small join to combine — every intermediate carries
+    only ids and counts."""
+    e = edges.select("a", "b").distinct()
+    bi = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = bi.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangles_per_node(e)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0)
+            * F.coalesce(F.col("n_tri"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Community detection by synchronous label propagation over
+    undirected edges(a, b). Returns (node, label); nodes sharing a
+    label form one community.
+
+    Deterministic variant: every node starts labeled with itself; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken by the smallest label (so reruns and
+    parallelism levels agree — vanilla LPA's random tie-break is not
+    reproducible). Stops when no label changed or after max_iter
+    rounds. Same iteration discipline as pagerank/khop: the edge set
+    is checkpointed once, each round shuffles only (node, label)."""
+    e = edges.select("a", "b").filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).distinct()
+    bi = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bi.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        votes = (
+            bi.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # min of (-cnt, label) = highest count, then smallest label —
+        # a single aggregation instead of a window sort
+        new = (
+            votes.select(
+                "node",
+                F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("l")).alias(
+                    "o"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.min("o").alias("o"))
+            .select("node", F.col("o.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
 
 
 def entity_graph(triples: DataFrame, preds: list[str]) -> DataFrame:

@@ -1356,6 +1356,13 @@ _SCAN_PARSE_CELLS = {
 
 _AGG_STATS_CELLS = {
     "rel_median": (None, ["l_returnflag"], [("median_qty", "n"), ("p90_qty", "n")]),
+    # ROLLUP NULL keys: concat_ws skips NULLs identically in Spark and
+    # DuckDB, and ROLLUP only NULLs key suffixes, so rk stays collision-
+    # free ('' = grand total, 'AFRICA' = region subtotal)
+    "rel_rollup": (
+        None, ["r_name", "n_name"],
+        [("n_customers", "n"), ("total_balance", "n")],
+    ),
     "rel_breakdown_pct": (None, ["o_orderstatus"], [("cnt", "n"), ("pct", "n")]),
     "rel_reconciliation_counts": (
         None, ["tbl"], [("n_rows", "n"), ("n_subjects", "n")]
@@ -1425,8 +1432,9 @@ def q_scan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compound aggregation bundle: exact percentiles, breakdown
-    percentage, reconciliation counts, group min/max + imputation."""
+    """Compound aggregation bundle: exact percentiles, ROLLUP hierarchy
+    totals, breakdown percentage, reconciliation counts, group min/max
+    + imputation."""
     return _compound_sqlless(spark, sf_dir, _AGG_STATS_CELLS)
 
 
@@ -1544,7 +1552,6 @@ DRIVER_REL_QUERIES = [
     "rel_values_seed_join",
     "rel_composite_key_scope",
     "rel_loyalty_override",
-    "rel_rollup",
     "rel_merge_upsert",
     "rel_salted_stats",
     "rel_scalars",

@@ -893,6 +893,93 @@ SELECT * FROM (
 """
 
 
+COOC_MIN_JACCARD = 0.68  # strength threshold for co-occurrence edges
+
+
+def kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural analytics over the entity co-occurrence graph the
+    pipeline materializes alongside its triples: two canonical entities
+    are adjacent iff the Jaccard strength of their page sets is >= 0.68
+    (an unthresholded graph is complete on this corpus — every entity
+    pair shares a page — which would make every statistic a constant;
+    the strength threshold yields a structured graph: ~30/91 candidate
+    pairs survive at sf0.001, ~46 at sf0.01, ~66 at sf0.1, with varied
+    degrees and clustering). Emits per-entity (node, degree, n_tri,
+    clustering) — degree finds the hub entities, the exact triangle
+    count and local clustering coefficient measure how clique-like each
+    entity's neighborhood is (topic cohesion vs bridge entities).
+
+    Beyond the reference (its CDM output is relational; no graph
+    analytics to cite) — this is the "graph" half of the north rule's
+    graph-materialize step, alongside pagerank/khop/label_propagation
+    in kgforge/operators/graph.py. The oracle recomputes the identical
+    statistics in SQL (three-way self-join for triangles), so every
+    cell is hash-verified; the Spark side runs the degree-ordered
+    oriented wedge join that stays O(sqrt(m)) per out-list at hub
+    nodes."""
+    from kgforge.operators import graph as G
+
+    c = _candidates(spark, sf_dir)
+    pe = c.filter(F.col("kind") == "entity").select(
+        "url", F.col("canonical_id").alias("entity")
+    )
+    edges = G.cooccurrence_edges(pe, min_jaccard=COOC_MIN_JACCARD)
+    return (
+        G.graph_stats(edges)
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_tri").cast("long").alias("n_tri"),
+            "clustering",
+        )
+        .orderBy("node")
+    )
+
+
+ORACLE_KG_GRAPH = f"""
+WITH {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS},
+page_entities AS (SELECT DISTINCT url, canonical_id AS entity
+                  FROM mentions JOIN dict USING (surface)),
+eligible AS (SELECT url FROM page_entities GROUP BY url HAVING COUNT(*) <= 64),
+pe AS (SELECT p.url, p.entity FROM page_entities p
+       JOIN eligible e ON e.url = p.url),
+cnt AS (SELECT entity, COUNT(*) AS n_pages FROM pe GROUP BY entity),
+pair AS (
+  SELECT pa.entity AS a, pb.entity AS b, COUNT(*) AS support
+  FROM pe pa JOIN pe pb ON pa.url = pb.url AND pa.entity < pb.entity
+  GROUP BY pa.entity, pb.entity
+),
+edges AS (
+  SELECT a, b FROM pair
+  JOIN cnt ca ON ca.entity = pair.a
+  JOIN cnt cb ON cb.entity = pair.b
+  WHERE CAST(support AS DOUBLE) / (ca.n_pages + cb.n_pages - support) >= 0.68
+),
+bi AS (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges),
+deg AS (SELECT node, COUNT(*) AS degree FROM bi GROUP BY node),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_per_node AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN d.degree >= 2
+            THEN 2.0 * COALESCE(t.n_tri, 0) / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tri_per_node t USING (node)
+ORDER BY node
+"""
+
+
 QUERIES = {
     "kg_extract": kg_extract,
     "kg_mentions": kg_mentions,
@@ -906,6 +993,7 @@ QUERIES = {
     "kg_relations": kg_relations,
     "kg_dictstats": kg_dictstats,
     "kg_report": kg_report,
+    "kg_graph": kg_graph,
 }
 
 ORACLES = {
@@ -921,4 +1009,5 @@ ORACLES = {
     "kg_relations": ORACLE_KG_RELATIONS,
     "kg_dictstats": ORACLE_KG_DICTSTATS,
     "kg_report": ORACLE_KG_REPORT,
+    "kg_graph": ORACLE_KG_GRAPH,
 }
