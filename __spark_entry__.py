@@ -49,7 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
-    out.update(textstats.QUERIES)
+    for name in textstats.DRIVER_QUERIES:  # standalones melt into tx_stats
+        out[name] = textstats.QUERIES[name]
     out.update(temporal.QUERIES)
     out.update(multimodal.QUERIES)
     for name in relational.DRIVER_REL_QUERIES:

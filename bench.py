@@ -65,9 +65,10 @@ def main() -> int:
     # bundles); the bench headline keeps the r01/r02 standalone queries
     # for round-over-round comparability, so fall back to the full
     # relational inventory for names the registry no longer carries
-    from kgforge.operators import relational
+    from kgforge.operators import relational, textstats
 
     qs = dict(relational.QUERIES)
+    qs.update(textstats.QUERIES)  # tx_* standalones melt into tx_stats
     qs.update(se.queries())
     timings: dict[str, float] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -132,7 +133,15 @@ def main() -> int:
                 materialize(df)
             cur[name] = time.time() - t0
         passes.append(cur)
-        if sum(cur.values()) > 100.0 or time.time() - bench_t0 > 240.0:
+        # The box shows hypervisor preemption windows (hrtimer-interrupt
+        # dmesg lines, guest-idle stalls) that degrade an ENTIRE pass
+        # 2-5x, so a one-pass artifact records the window, not the
+        # plan. Always attempt a second pass — per-query best-of-k
+        # needs >=2 samples to dodge a window — unless pass 1 was
+        # hopeless (>300s) or the wall budget (420s) is spent; after
+        # two passes, stop early once passes are slow (>150s).
+        s = sum(cur.values())
+        if s > 300.0 or time.time() - bench_t0 > 420.0 or (it >= 1 and s > 150.0):
             break
     timings = {
         name: round(min(p[name] for p in passes), 3) for name in HEADLINE

@@ -424,12 +424,169 @@ ORDER BY a, b
 """
 
 
+PASSAGE_WORDS = 4  # non-overlapping passage chunk size (words)
+
+
+def passage_dedup(docs: DataFrame, chunk_words: int = PASSAGE_WORDS) -> DataFrame:
+    """Sub-document exact dedup (the CCNet paragraph-dedup analog,
+    shaped for this corpus's single-line documents): each document is
+    chunked into non-overlapping `chunk_words`-word passages, and every
+    passage that recurs in >= 2 distinct documents is emitted as
+    (phash, n_docs, n_occ, first_doc).
+
+    Scale: chunking is array-slot arithmetic inside codegen (no
+    explode until the passage list exists), each passage is md5-hashed
+    MAP-SIDE so the single shuffle carries only (16-byte hash, doc_id)
+    pairs — passage text never crosses the wire, the same discipline as
+    dd_exact. The group-by is a plain hash aggregation; a pathological
+    passage that appears everywhere ("click here to subscribe") makes
+    one hot group of cheap count/min partials, not a row explosion."""
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(passages).alias("passage"))
+        .select("doc_id", F.md5("passage").alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("phash")
+    )
+
+
+def dd_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return passage_dedup(docs)
+
+
+ORACLE_DD_PASSAGE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[i*{PASSAGE_WORDS}+1 : i*{PASSAGE_WORDS}+{PASSAGE_WORDS}], ' ')) AS phash
+  FROM w, UNNEST(range(CAST(ceil(len(ws)/{PASSAGE_WORDS}.0) AS BIGINT))) AS t(i)
+)
+SELECT phash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM ch GROUP BY phash HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY phash
+"""
+
+
+def url_canonicalize(urls: DataFrame) -> DataFrame:
+    """urls(doc_id, raw_url) -> (doc_id, raw_url, canonical_url): the
+    standard web-crawl URL canonicalization battery — strip the
+    fragment, strip utm_* tracking parameters, lowercase the
+    scheme+host prefix (the part of a URL that is case-insensitive by
+    RFC 3986; the path is NOT lowercased), strip one trailing slash.
+    Pure regexp/string ops inside codegen; the identical four rewrites
+    run in the SQL oracle so the mapping is bit-identical."""
+    u = F.regexp_replace(F.col("raw_url"), "#.*$", "")
+    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*", "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, "^[^/]*//[^/]*", 0)),
+        F.regexp_replace(u, "^[^/]*//[^/]*", ""),
+    )
+    u = F.regexp_replace(u, "/$", "")
+    return urls.select("doc_id", "raw_url", u.alias("canonical_url"))
+
+
+def dd_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup: deterministic messy variants (tracking params on
+    every doc, SHOUTING host + fragment on even doc_ids, trailing
+    slash on doc_id%3==0) are canonicalized and grouped — the crawl-
+    frontier dedup every web pipeline runs before fetching. Variant
+    synthesis is the same expression in both engines, so survivors are
+    guaranteed at every sf and group sizes vary 1..3."""
+    d = read_table(spark, "documents", sf_dir)
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    v1 = F.concat(
+        base, F.lit("?utm_source=feed&utm_campaign="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    v2 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"), F.lit(".EXAMPLE.COM/doc/"),
+            F.col("doc_id").cast("string"), F.lit("#section-"),
+            (F.col("doc_id") % 3).cast("string"),
+        ),
+    )
+    v3 = F.when(F.col("doc_id") % 3 == 0, F.concat(base, F.lit("/")))
+    raws = (
+        d.select("doc_id", F.explode(F.array(v1, v2, v3)).alias("raw_url"))
+        .filter(F.col("raw_url").isNotNull())
+    )
+    return (
+        url_canonicalize(raws)
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("raw_url").cast("long").alias("n_variants"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+ORACLE_DD_URL = """
+WITH raw AS (
+  SELECT doc_id, raw_url FROM (
+    SELECT doc_id, UNNEST([
+      'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+        || '?utm_source=feed&utm_campaign=' || CAST(doc_id % 7 AS VARCHAR),
+      CASE WHEN doc_id % 2 = 0 THEN
+        'HTTPS://' || UPPER(source) || '.EXAMPLE.COM/doc/' || CAST(doc_id AS VARCHAR)
+          || '#section-' || CAST(doc_id % 3 AS VARCHAR) END,
+      CASE WHEN doc_id % 3 = 0 THEN
+        'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '/' END
+    ]) AS raw_url
+    FROM documents
+  ) WHERE raw_url IS NOT NULL
+),
+canon AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(
+           lower(regexp_extract(u2, '^[^/]*//[^/]*', 0))
+             || regexp_replace(u2, '^[^/]*//[^/]*', ''),
+           '/$', '') AS canonical_url
+  FROM (
+    SELECT doc_id, raw_url,
+           regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+                          '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u2
+    FROM raw
+  )
+)
+SELECT canonical_url,
+       CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_variants,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
     "dd_simhash_verify": dd_simhash_verify,
+    "dd_passage": dd_passage,
+    "dd_url": dd_url,
 }
 
 ORACLES = {
@@ -440,4 +597,6 @@ ORACLES = {
     # signatures have no SQL equivalent); dd_simhash_verify is the
     # hash-green twin covering the identical pipeline shape
     "dd_simhash_verify": ORACLE_DD_SIMHASH_VERIFY,
+    "dd_passage": ORACLE_DD_PASSAGE,
+    "dd_url": ORACLE_DD_URL,
 }

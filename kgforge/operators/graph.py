@@ -212,6 +212,61 @@ def cooccurrence_edges(
     )
 
 
+def assoc_scores(
+    page_entities: DataFrame, max_entities_per_page: int = 64
+) -> DataFrame:
+    """page_entities(url, entity) -> per co-occurring pair (a, b) with
+    a < b: support (shared pages), Jaccard strength, and lift —
+    support * N / (n_pages(a) * n_pages(b)), the exp-of-PMI association
+    score (lift > 1 = the pair co-occurs more than independence
+    predicts). Logs are deliberately NOT taken: every emitted value is
+    either an exact integer or a single IEEE division of exactly-
+    representable integers, so the scores are bit-identical across
+    engines — a log would differ in final ulps between libm and the
+    JVM. Same eligibility cap discipline as cooccurrence_edges; N is
+    the eligible-page count, carried as a 1-row broadcast."""
+    pe = page_entities.select("url", "entity").distinct()
+    eligible = (
+        pe.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_ents"))
+        .filter(F.col("n_ents") <= max_entities_per_page)
+        .select("url")
+    )
+    pe = pe.join(eligible, "url", "left_semi")
+    tot = eligible.agg(F.count(F.lit(1)).alias("n_total"))
+    cnt = pe.groupBy("entity").agg(F.count(F.lit(1)).alias("n_pages"))
+    a = pe.select("url", F.col("entity").alias("a"))
+    b = pe.select("url", F.col("entity").alias("b"))
+    pairs = (
+        a.join(b, "url")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.join(
+            cnt.select(F.col("entity").alias("a"), F.col("n_pages").alias("na")), "a"
+        )
+        .join(
+            cnt.select(F.col("entity").alias("b"), F.col("n_pages").alias("nb")), "b"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("support").cast("long").alias("support"),
+            (
+                F.col("support").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("support"))
+            ).alias("jaccard"),
+            (
+                (F.col("support") * F.col("n_total")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+
+
 def triangles_per_node(edges: DataFrame) -> DataFrame:
     """Exact per-node triangle counts over undirected edges(a, b), a<b
     distinct. Returns (node, n_tri) for every node in ≥1 triangle.

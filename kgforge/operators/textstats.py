@@ -133,11 +133,122 @@ FROM documents ORDER BY doc_id
 """
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals over docs(doc_id,
+    text): n_words, n_distinct_words, and the duplicate fraction of
+    words / adjacent 2-grams / adjacent 3-grams — the standard "is this
+    page boilerplate or a keyboard-mash" battery a training-data
+    pipeline runs before dedup (Rae et al. 2021 repetition filters).
+
+    Everything stays inside whole-stage codegen: the n-grams are
+    array-slot arithmetic over the split words (no explode, no
+    shuffle), and each fraction is one IEEE division of exactly-
+    representable integer counts, so the values are bit-identical to
+    the SQL oracle's. Empty-gram guards: a 1-word doc has no 2-grams
+    (fraction 0.0 by definition, not NULL)."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_dist = F.size(F.array_distinct(words))
+
+    def gram_dup_frac(k: int):
+        cnt = n - (k - 1)  # adjacent k-grams in an n-word doc
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(
+            n >= k,
+            (cnt - F.size(F.array_distinct(grams))).cast("double") / cnt,
+        ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        n_dist.cast("long").alias("n_distinct_words"),
+        ((n - n_dist).cast("double") / n).alias("dup_word_frac"),
+        gram_dup_frac(2).alias("dup_2gram_frac"),
+        gram_dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, "documents", sf_dir)
+    return repetition_stats(d).orderBy("doc_id")
+
+
+def _gram_sql(k: int) -> str:
+    """DuckDB twin of gram_dup_frac: 1-based list slots, range() is
+    end-exclusive so range(1, n-k+2) enumerates the n-k+1 gram starts."""
+    join = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len(ws) >= {k} THEN "
+        f"CAST(len(ws)-{k - 1} - len(list_distinct(list_transform("
+        f"range(1, len(ws)-{k - 1}+1), i -> {join}))) AS DOUBLE)"
+        f" / (len(ws)-{k - 1}) ELSE 0.0 END"
+    )
+
+
+ORACLE_TX_REPETITION = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+       CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+       {_gram_sql(2)} AS dup_2gram_frac,
+       {_gram_sql(3)} AS dup_3gram_frac
+FROM w ORDER BY doc_id
+"""
+
+
+# ---- driver-facing compound ------------------------------------------
+# The five tx_* operators melt into ONE registered query (tx_stats) via
+# the same machinery as relational's compounds — every cell of every
+# standalone result is still value-hash-compared against the
+# identically-melted DuckDB oracle; the standalones stay in QUERIES for
+# bench.py and pytest. This freed 3 driver-registry slots (the cap is
+# ~50 recorded rows) for dd_passage / dd_url / kg_assoc.
+
+_TX_CELLS = {
+    "tx_langid": (
+        None, ["doc_id"],
+        [("lang", "s"), ("en_hits", "n"), ("en_ratio", "n"), ("lang_pred", "s")],
+    ),
+    "tx_quality": (
+        None, ["doc_id"],
+        [("n_chars", "n"), ("n_words", "n"), ("mean_word_len", "n"),
+         ("stop_ratio", "n"), ("keep", "s")],
+    ),
+    "tx_tokens": (None, ["doc_id"], [("ws_tokens", "n"), ("re_tokens", "n")]),
+    "tx_fingerprint": (None, ["doc_id"], [("fingerprint", "n")]),
+    "tx_repetition": (
+        None, ["doc_id"],
+        [("n_words", "n"), ("n_distinct_words", "n"), ("dup_word_frac", "n"),
+         ("dup_2gram_frac", "n"), ("dup_3gram_frac", "n")],
+    ),
+}
+
+
+def tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound text-analysis bundle: language-ID, quality battery,
+    token counts, rolling-hash fingerprint, repetition signals — the
+    standalone tx_* queries melted into one oracle-checked frame."""
+    from kgforge.operators.relational import _compound
+
+    specs = [
+        (sec, QUERIES[sec], flt, keys, cells)
+        for sec, (flt, keys, cells) in _TX_CELLS.items()
+    ]
+    return _compound(spark, sf_dir, specs)
+
+
 QUERIES = {
     "tx_langid": tx_langid,
     "tx_quality": tx_quality,
     "tx_tokens": tx_tokens,
     "tx_fingerprint": tx_fingerprint,
+    "tx_repetition": tx_repetition,
 }
 
 ORACLES = {
@@ -145,4 +256,24 @@ ORACLES = {
     "tx_quality": ORACLE_TX_QUALITY,
     "tx_tokens": ORACLE_TX_TOKENS,
     "tx_fingerprint": ORACLE_TX_FINGERPRINT,
+    "tx_repetition": ORACLE_TX_REPETITION,
 }
+
+
+def _tx_compound_sql() -> str:
+    from kgforge.operators.relational import _compound_sql
+
+    return _compound_sql(
+        [
+            (sec, ORACLES[sec], flt, keys, cells)
+            for sec, (flt, keys, cells) in _TX_CELLS.items()
+        ]
+    )
+
+
+QUERIES["tx_stats"] = tx_stats
+ORACLES["tx_stats"] = _tx_compound_sql()
+
+# the names __spark_entry__ registers (the standalones above remain for
+# bench.py, tools/verify_local.py and pytest)
+DRIVER_QUERIES = ["tx_stats"]

@@ -980,6 +980,51 @@ ORDER BY node
 """
 
 
+def kg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity association scores over the same page/entity incidence
+    kg_graph thresholds: per co-occurring canonical pair — support,
+    Jaccard strength, and lift (exp-of-PMI; > 1 means the pair
+    co-occurs more than independence predicts). This is the scored
+    edge list a KG pipeline persists so downstream consumers can pick
+    their own strength threshold instead of inheriting kg_graph's
+    0.68; all three scores are exact integer ratios (single IEEE
+    division), hash-identical to the DuckDB oracle. Beyond the
+    reference (no association mining there); see
+    kgforge/operators/graph.py (assoc_scores) for the at-scale shape."""
+    from kgforge.operators import graph as G
+
+    c = _candidates(spark, sf_dir)
+    pe = c.filter(F.col("kind") == "entity").select(
+        "url", F.col("canonical_id").alias("entity")
+    )
+    return G.assoc_scores(pe).orderBy("a", "b")
+
+
+ORACLE_KG_ASSOC = f"""
+WITH {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS},
+page_entities AS (SELECT DISTINCT url, canonical_id AS entity
+                  FROM mentions JOIN dict USING (surface)),
+eligible AS (SELECT url FROM page_entities GROUP BY url HAVING COUNT(*) <= 64),
+pe AS (SELECT p.url, p.entity FROM page_entities p
+       JOIN eligible e ON e.url = p.url),
+tot AS (SELECT COUNT(*) AS n_total FROM eligible),
+cnt AS (SELECT entity, COUNT(*) AS n_pages FROM pe GROUP BY entity),
+pair AS (
+  SELECT pa.entity AS a, pb.entity AS b, COUNT(*) AS support
+  FROM pe pa JOIN pe pb ON pa.url = pb.url AND pa.entity < pb.entity
+  GROUP BY pa.entity, pb.entity
+)
+SELECT p.a, p.b, CAST(p.support AS BIGINT) AS support,
+       CAST(p.support AS DOUBLE) / (ca.n_pages + cb.n_pages - p.support) AS jaccard,
+       CAST(p.support * t.n_total AS DOUBLE) / (ca.n_pages * cb.n_pages) AS lift
+FROM pair p
+JOIN cnt ca ON ca.entity = p.a
+JOIN cnt cb ON cb.entity = p.b
+CROSS JOIN tot t
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "kg_extract": kg_extract,
     "kg_mentions": kg_mentions,
@@ -994,6 +1039,7 @@ QUERIES = {
     "kg_dictstats": kg_dictstats,
     "kg_report": kg_report,
     "kg_graph": kg_graph,
+    "kg_assoc": kg_assoc,
 }
 
 ORACLES = {
@@ -1010,4 +1056,5 @@ ORACLES = {
     "kg_dictstats": ORACLE_KG_DICTSTATS,
     "kg_report": ORACLE_KG_REPORT,
     "kg_graph": ORACLE_KG_GRAPH,
+    "kg_assoc": ORACLE_KG_ASSOC,
 }

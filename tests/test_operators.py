@@ -677,3 +677,105 @@ def test_compound_bundles_cover_specs(spark, sf001):
         missing = want - got
         assert not missing, f"{name} dropped cells: {missing}"
         assert got <= want, f"{name} emitted unspecified cells: {got - want}"
+
+
+# ---- passage dedup / URL canonicalization / repetition / association ----
+
+
+def test_repetition_stats_known_values(spark):
+    from kgforge.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b a"), (2, "x x x"), (3, "q")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_distinct_words"], r["dup_word_frac"],
+            r["dup_2gram_frac"], r["dup_3gram_frac"],
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    # doc1: 4 words {a,b}; 2-grams "a a","a b","b a" all distinct
+    assert got[1] == (4, 2, 0.5, 0.0, 0.0)
+    # doc2: "x x" twice -> one distinct of two 2-grams; single 3-gram
+    assert got[2] == (3, 1, 2.0 / 3.0, 0.5, 0.0)
+    # doc3: one word -> no grams, fractions pinned to 0.0 (not NULL)
+    assert got[3] == (1, 1, 0.0, 0.0, 0.0)
+
+
+def test_passage_dedup_planted(spark):
+    from kgforge.operators.dedup import passage_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s a b c d"),     # chunk0 "p q r s" shared with doc 2
+            (2, "p q r s z z z z"),
+            (3, "m n o p m n o p"),     # repeats only WITHIN one doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = passage_dedup(docs).collect()
+    # within-doc repetition must not survive the n_docs >= 2 filter
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["n_occ"], r["first_doc"]) == (2, 2, 1)
+
+
+def test_passage_dedup_tail_chunk(spark):
+    from kgforge.operators.dedup import passage_dedup
+
+    # 6 words -> chunks of 4 + a 2-word tail; the tail is a real passage
+    docs = spark.createDataFrame(
+        [(1, "a b c d t u"), (2, "x y z w t u")],
+        "doc_id long, text string",
+    )
+    rows = passage_dedup(docs).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2  # the "t u" tails
+
+
+def test_url_canonicalize_rules(spark):
+    from kgforge.operators.dedup import url_canonicalize
+
+    cases = [
+        (1, "HTTPS://EX.COM/Path/X#frag"),            # host lowered, path case kept
+        (2, "https://ex.com/a?utm_source=f&utm_campaign=3"),
+        (3, "https://ex.com/a/"),                      # trailing slash
+        (4, "https://ex.com/p?a=1&utm_x=2&b=3"),       # utm stripped mid-query
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, raw_url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in url_canonicalize(df).collect()}
+    assert got[1] == "https://ex.com/Path/X"
+    assert got[2] == "https://ex.com/a"
+    assert got[3] == "https://ex.com/a"
+    assert got[4] == "https://ex.com/p?a=1&b=3"
+
+
+def test_url_dedup_groups_variants(spark, sf001):
+    from kgforge.operators.dedup import dd_url
+
+    rows = dd_url(spark, "/root/testdata/sf0.001").collect()
+    by_first = {r["first_doc"]: r for r in rows}
+    # doc 0: all three variant kinds collapse onto one canonical
+    assert by_first[0]["n_variants"] == 3
+    # doc 1: only the utm variant exists
+    assert by_first[1]["n_variants"] == 1
+    # every group's variants collapsed (n_rows == n_variants, distinct raws)
+    assert all(r["n_rows"] == r["n_variants"] for r in rows)
+
+
+def test_assoc_scores_known_values(spark):
+    from kgforge.operators.graph import assoc_scores
+
+    pe = spark.createDataFrame(
+        [("p1", "x"), ("p2", "x"), ("p3", "x"), ("p1", "y"), ("p2", "y"), ("p3", "z")],
+        "url string, entity string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["support"], r["jaccard"], r["lift"])
+        for r in assoc_scores(pe).collect()
+    }
+    # N=3 pages; x on 3, y on 2, z on 1
+    assert got[("x", "y")] == (2, 2.0 / 3.0, 2 * 3 / (3 * 2))
+    assert got[("x", "z")] == (1, 1.0 / 3.0, 1 * 3 / (3 * 1))
+    assert ("y", "z") not in got  # never co-occur
