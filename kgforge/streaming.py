@@ -311,6 +311,56 @@ def run_stream_kg_parity(
     return stream_rows, batch_rows
 
 
+def run_stream_dedup_parity(
+    spark: SparkSession, docs_dir: str, max_files_per_trigger: int = 1
+) -> tuple[set, set]:
+    """Streaming exact-dedup twin of dd_exact: arriving document
+    batches are deduplicated in-flight on the content hash via
+    dropDuplicatesWithinWatermark — the Kafka/ingest shape where the
+    stream guards the recent event-time window and full-corpus dedup
+    remains a batch compaction stage (same division of labor as the
+    streaming KG twin: state is bounded by the watermark, never
+    corpus-sized). The hash is computed map-side so the state store
+    keys on 16 bytes, not text bodies.
+
+    Returns (stream_hashes, batch_hashes). Parity compares the
+    surviving hash SETS: which physical copy survives is an arrival-
+    order artifact (any engine's streaming dedup has this property),
+    but the set of distinct contents — the thing dedup is FOR — must
+    equal the batch answer exactly, and the stream must emit each hash
+    exactly once (asserted by the caller via len == len(set))."""
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+        .select(F.md5("text").alias("text_md5"), "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = spark.sql("SELECT text_md5 FROM st_dedup_out").collect()
+    finally:
+        q.stop()
+    batch = (
+        spark.read.schema(schema)
+        .parquet(docs_dir)
+        .select(F.md5("text").alias("text_md5"))
+        .distinct()
+        .collect()
+    )
+    stream_hashes = [r["text_md5"] for r in stream_rows]
+    assert len(stream_hashes) == len(set(stream_hashes)), "hash emitted twice"
+    return set(stream_hashes), {r["text_md5"] for r in batch}
+
+
 QUERIES = {
     "st_tumbling_agg": st_tumbling_agg,
     "st_sessionize": st_sessionize,

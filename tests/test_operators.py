@@ -779,3 +779,34 @@ def test_assoc_scores_known_values(spark):
     assert got[("x", "y")] == (2, 2.0 / 3.0, 2 * 3 / (3 * 2))
     assert got[("x", "z")] == (1, 1.0 / 3.0, 1 * 3 / (3 * 1))
     assert ("y", "z") not in got  # never co-occur
+
+
+def test_stream_dedup_parity(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark == batch distinct on the
+    content hash, across micro-batches: the clone lands in a LATER file
+    than its original, so dedup state must carry across triggers."""
+    from kgforge.streaming import run_stream_dedup_parity
+    import datetime as dt
+
+    d = str(tmp_path / "docs")
+    t0 = dt.datetime(2024, 1, 1)
+    rows1 = [(i, f"text body {i}", t0) for i in range(20)]
+    # second batch: 10 fresh docs + 5 clones of batch-1 contents
+    rows2 = [(100 + i, f"text body {100 + i}", t0) for i in range(10)] + [
+        (200 + i, f"text body {i}", t0) for i in range(5)
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(d + "/b2")
+    # flatten into one dir so the stream sees two files
+    import shutil, glob
+
+    out = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(out)
+    for i, f in enumerate(sorted(glob.glob(d + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{out}/{i:05d}.parquet")
+    got, want = run_stream_dedup_parity(spark, out)
+    assert got == want
+    assert len(want) == 30  # 20 + 10 fresh, 5 clones collapsed
