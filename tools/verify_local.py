@@ -5,7 +5,7 @@ oracle_sql() via DuckDB: row count, column-name set, and an
 order-insensitive value hash (columns sorted by name, rows sorted, cells
 normalized). Usage:
 
-    python tools/verify_local.py [--all-rel] [name_prefix ...]
+    python tools/verify_local.py [--all-rel] [--sf-dir PATH] [name_prefix ...]
 
 --all-rel additionally sweeps every standalone entry in
 kgforge.operators.relational.QUERIES/ORACLES (the 27 queries folded into
@@ -55,8 +55,13 @@ def canon(rows, cols):
 
 
 def main() -> int:
+    global SF_DIR
     argv = sys.argv[1:]
     all_rel = "--all-rel" in argv
+    if "--sf-dir" in argv:  # cross-scale spot checks (driver runs sf0.01)
+        i = argv.index("--sf-dir")
+        SF_DIR = argv[i + 1]
+        del argv[i : i + 2]
     prefixes = [a for a in argv if a != "--all-rel"]
     import __spark_entry__ as se
     from kgforge.conf import get_spark
