@@ -100,3 +100,36 @@ def test_span_emitter_broadcasts_periods(spark):
     plan = plan_of(emit_span_triples(pages, mapping, periods))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4_ops_stay_jvm_side(spark, sf001):
+    """The r4 training-data ops (repetition stats, passage dedup, URL
+    canonicalization) are pure built-in expressions: no Python
+    evaluation node, no cartesian, and the documents scan stays
+    columnar. The passage chunker in particular must NOT explode before
+    hashing — md5 happens in the same project as the chunk slice, so
+    the shuffle carries (hash, doc_id) only."""
+    from kgforge.operators.dedup import dd_passage, dd_url
+    from kgforge.operators.textstats import QUERIES as TXQ
+
+    for q in (dd_passage, dd_url, TXQ["tx_repetition"]):
+        plan = plan_of(q(spark, sf001))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    plan = plan_of(TXQ["tx_repetition"](spark, sf001))
+    assert "Batched: true" in plan
+
+
+def test_assoc_broadcasts_total_and_avoids_cartesian(spark):
+    """kg_assoc's corpus-size constant N joins as a 1-row broadcast —
+    the only acceptable 'cross join' shape — and the pair fan-out is an
+    equi-join on url, never a cartesian."""
+    from kgforge.operators.graph import assoc_scores
+
+    pe = spark.createDataFrame(
+        [("p1", "x"), ("p1", "y"), ("p2", "x")], "url string, entity string"
+    )
+    plan = plan_of(assoc_scores(pe))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N broadcast
