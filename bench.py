@@ -33,12 +33,15 @@ HEADLINE = [
     "rel_ntile_cohort",
     "rel_hierarchy_propagation",
     "dd_exact",
+    "dd_passage",
+    "dd_url",
     "dd_minhash_lsh",
     "dd_simhash",
     "sim_topk_bruteforce",
     "sim_neardup_cosine",
     "tx_quality",
     "tx_fingerprint",
+    "tx_repetition",
     "mm_meta",
     "st_tumbling_agg",
     "kg_extract",
@@ -47,6 +50,7 @@ HEADLINE = [
     "kg_spans",
     "kg_relations",
     "kg_graph",
+    "kg_assoc",  # after kg_graph: reuses the pass's cached candidates
     "kg_triples",
 ]
 

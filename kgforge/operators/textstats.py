@@ -145,8 +145,14 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     shuffle), and each fraction is one IEEE division of exactly-
     representable integer counts, so the values are bit-identical to
     the SQL oracle's. Empty-gram guards: a 1-word doc has no 2-grams
-    (fraction 0.0 by definition, not NULL)."""
-    words = F.split(F.col("text"), " ")
+    (fraction 0.0 by definition, not NULL).
+
+    The split is materialized as a column FIRST: element_at inside a
+    transform lambda does not get subexpression-eliminated against an
+    unmaterialized split(text), so referencing the raw split there
+    re-splits the text per array slot — O(words^2) per document,
+    measured 17s -> ~1s at sf0.1 for this exact operator."""
+    words = F.col("ws")
     n = F.size(words)
     n_dist = F.size(F.array_distinct(words))
 
@@ -164,6 +170,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0.0))
 
     return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select(
         "doc_id",
         n.cast("long").alias("n_words"),
         n_dist.cast("long").alias("n_distinct_words"),
