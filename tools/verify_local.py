@@ -75,12 +75,16 @@ def main() -> int:
 
     qs, oracles = dict(se.queries()), dict(se.oracle_sql())
     if all_rel:
-        from kgforge.operators import relational
+        # also sweeps the tx_* standalones folded into tx_stats (same
+        # rationale as the relational compounds: the bundles are what
+        # the driver records, the standalones stay verifiable here)
+        from kgforge.operators import relational, textstats
 
-        for name, fn in relational.QUERIES.items():
-            qs.setdefault(name, fn)
-        for name, sql in relational.ORACLES.items():
-            oracles.setdefault(name, sql)
+        for mod in (relational, textstats):
+            for name, fn in mod.QUERIES.items():
+                qs.setdefault(name, fn)
+            for name, sql in mod.ORACLES.items():
+                oracles.setdefault(name, sql)
     n_pass = n_fail = n_skip = 0
     for name, fn in qs.items():
         if prefixes and not any(name.startswith(p) for p in prefixes):
