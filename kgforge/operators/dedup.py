@@ -72,8 +72,14 @@ ORDER BY keeper_doc_id
 
 
 def _shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct word-k-shingles per doc — shared by the jaccard ops."""
-    words = F.split(F.col("text"), " ")
+    """Distinct word-k-shingles per doc — shared by the jaccard ops.
+
+    The split materializes as a column BEFORE the transform: F.slice
+    referencing an outer unmaterialized split(text) inside the lambda
+    is not subexpression-eliminated, so it would re-split the document
+    once per shingle slot (the O(words²) defect benching caught in
+    tx_repetition)."""
+    words = F.col("ws")
     sh = F.when(
         F.size(words) <= k, F.array(F.concat_ws(" ", words))
     ).otherwise(
@@ -83,8 +89,8 @@ def _shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         )
     )
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +447,7 @@ def passage_dedup(docs: DataFrame, chunk_words: int = PASSAGE_WORDS) -> DataFram
     dd_exact. The group-by is a plain hash aggregation; a pathological
     passage that appears everywhere ("click here to subscribe") makes
     one hot group of cheap count/min partials, not a row explosion."""
-    words = F.split(F.col("text"), " ")
+    words = F.col("ws")  # materialized first — see _shingles note (CSE)
     n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
     passages = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -450,7 +456,8 @@ def passage_dedup(docs: DataFrame, chunk_words: int = PASSAGE_WORDS) -> DataFram
         ),
     )
     return (
-        docs.select("doc_id", F.explode(passages).alias("passage"))
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(passages).alias("passage"))
         .select("doc_id", F.md5("passage").alias("phash"))
         .groupBy("phash")
         .agg(
