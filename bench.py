@@ -42,6 +42,8 @@ HEADLINE = [
     "tx_quality",
     "tx_fingerprint",
     "tx_repetition",
+    "tx_decontam",
+    "tx_sample",
     "mm_meta",
     "st_tumbling_agg",
     "kg_extract",

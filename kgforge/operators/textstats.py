@@ -1,9 +1,12 @@
-"""Text-analysis operators: language-ID, quality scoring, token
-counting, document fingerprinting.
+"""Text-analysis operators for the training-data pipeline: language-ID,
+quality scoring, token counting, document fingerprinting, repetition
+signals, benchmark decontamination, and deterministic stratified
+sampling / mixture reporting.
 
-All four stay JVM-side (built-in string/array functions inside
+Everything stays JVM-side (built-in string/array functions inside
 whole-stage codegen) — text analysis is the hot path of a training-data
-pipeline and must not drop into Python per row.
+pipeline and must not drop into Python per row. The one join in the
+family (decontam's eval-gram match) is a broadcast semi-join.
 """
 
 from __future__ import annotations
@@ -133,6 +136,181 @@ FROM documents ORDER BY doc_id
 """
 
 
+def decontam(docs: DataFrame, k: int = 13, eval_mod: int = 23) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-k-gram (k=13, the GPT-3 appendix-C convention) with an eval
+    set. The eval set is synthesized deterministically from the corpus
+    itself — a 20-word snippet (words 3..22) of every doc whose id is
+    divisible by eval_mod — so the operator is self-contained and both
+    engines construct the identical benchmark.
+
+    100-TB shape: eval-set gram hashes are tiny (benchmarks are KBs,
+    corpora are TBs) and BROADCAST to every executor; the per-doc gram
+    explode is map-side and immediately pruned by the broadcast
+    left-semi join, so the only shuffle is the groupBy over the matched
+    rows (≈ contamination rate × docs, a sliver); the final all-docs
+    left join broadcasts the per-doc hit counts for the same reason.
+    Grams travel as md5 hex (16 bytes hashed) — the raw 13-word strings
+    never shuffle. The word split materializes as a column before the
+    transform lambda (CSE — see repetition_stats below)."""
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        n = F.size(F.col("ws"))
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(F.col("ws"), i + j) for j in range(k)])
+            ),
+        )
+        return df.filter(n >= k).select(
+            "doc_id", F.explode(F.array_distinct(grams)).alias("gh")
+        )
+
+    snips = base.filter(
+        (F.col("doc_id") % eval_mod == 0) & (F.size("ws") >= 22)
+    ).select("doc_id", F.slice("ws", 3, 20).alias("ws"))
+    bench_grams = gram_hashes(snips).select("gh").distinct()
+    hits = (
+        gram_hashes(base)
+        .join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("gh").alias("n_contam_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contam_grams", F.lit(0)).cast("long").alias("n_contam_grams"),
+            (F.coalesce("n_contam_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def tx_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, "documents", sf_dir)
+    return decontam(d).orderBy("doc_id")
+
+
+def _gram13_sql(arr: str) -> str:
+    return " || ' ' || ".join(f"{arr}[i+{j}]" for j in range(13))
+
+
+ORACLE_TX_DECONTAM = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+snip AS (SELECT doc_id, list_slice(ws, 3, 22) AS ws FROM w
+         WHERE doc_id % 23 = 0 AND len(ws) >= 22),
+bg AS (SELECT DISTINCT md5(g) AS gh FROM (
+         SELECT unnest(list_transform(range(1, len(ws) - 11),
+                       i -> {_gram13_sql("ws")})) AS g
+         FROM snip WHERE len(ws) >= 13)),
+dg AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(ws) - 11),
+                     i -> md5({_gram13_sql("ws")})))) AS gh
+       FROM w WHERE len(ws) >= 13),
+hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gh) GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contam_grams,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id
+ORDER BY w.doc_id
+"""
+
+
+# deterministic multiplicative-hash sampler (Knuth 2654435761 mod 2^32):
+# the per-doc decision is a pure function of doc_id, so re-running the
+# pipeline (or running it on two cluster sizes) selects the identical
+# training subset — no RNG state, no seed plumbing, no driver round-trip.
+SAMPLE_A = 2654435761
+SAMPLE_MOD = 1 << 32
+
+
+def _sample_cols():
+    bucket = (F.col("doc_id") * F.lit(SAMPLE_A)) % F.lit(SAMPLE_MOD) % 1000
+    rate = F.lit(950) - F.lit(45) * (
+        F.expr("CAST(substring(source, 4) AS INT)") % 20
+    )
+    return bucket.alias("bucket"), rate.alias("rate_permille")
+
+
+def tx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    each source stratum gets a per-mille rate (950 - 45·(idx mod 20) —
+    a fixed descending ladder standing in for a tuned mixture config),
+    and a doc is kept iff its multiplicative-hash bucket falls under the
+    stratum's rate. Pure whole-stage codegen, zero shuffle, zero RNG —
+    the 100-TB version is this exact plan with the ladder swapped for a
+    broadcast config map."""
+    d = read_table(spark, "documents", sf_dir)
+    bucket, rate = _sample_cols()
+    return (
+        d.select("doc_id", "source", bucket, rate)
+        .select(
+            "doc_id", "source", "bucket", "rate_permille",
+            (F.col("bucket") < F.col("rate_permille")).alias("sampled"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TX_SAMPLE = """
+SELECT doc_id, source,
+       (doc_id * 2654435761) % 4294967296 % 1000 AS bucket,
+       950 - 45 * (CAST(substr(source, 4) AS INT) % 20) AS rate_permille,
+       (doc_id * 2654435761) % 4294967296 % 1000
+         < 950 - 45 * (CAST(substr(source, 4) AS INT) % 20) AS sampled
+FROM documents ORDER BY doc_id
+"""
+
+
+def tx_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report: per stratum, how many docs the sampler kept,
+    the achieved per-mille rate, and the whitespace-token budget the
+    kept docs contribute — the numbers a data-mixture owner reads before
+    launching a run. One shuffle on the (tiny) stratum key."""
+    d = read_table(spark, "documents", sf_dir)
+    bucket, rate = _sample_cols()
+    n_words = F.size(F.split(F.col("text"), " "))
+    rows = d.select(
+        "source",
+        (bucket.cast("long") < rate).alias("sampled"),
+        n_words.alias("n_words"),
+    )
+    n_sampled = F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n_sampled.cast("long").alias("n_sampled"),
+            (n_sampled.cast("double") * 1000.0 / F.count(F.lit(1))).alias(
+                "achieved_permille"
+            ),
+            F.sum(F.when(F.col("sampled"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("tok_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TX_MIX = """
+WITH s AS (
+  SELECT source,
+         (doc_id * 2654435761) % 4294967296 % 1000
+           < 950 - 45 * (CAST(substr(source, 4) AS INT) % 20) AS sampled,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS DOUBLE) * 1000.0
+         / count(*) AS achieved_permille,
+       CAST(sum(CASE WHEN sampled THEN n_words ELSE 0 END) AS BIGINT) AS tok_sampled
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style intra-document repetition signals over docs(doc_id,
     text): n_words, n_distinct_words, and the duplicate fraction of
@@ -235,13 +413,29 @@ _TX_CELLS = {
         [("n_words", "n"), ("n_distinct_words", "n"), ("dup_word_frac", "n"),
          ("dup_2gram_frac", "n"), ("dup_3gram_frac", "n")],
     ),
+    "tx_decontam": (
+        None, ["doc_id"],
+        [("n_contam_grams", "n"), ("contaminated", "s")],
+    ),
+    "tx_sample": (
+        None, ["doc_id"],
+        [("source", "s"), ("bucket", "n"), ("rate_permille", "n"),
+         ("sampled", "s")],
+    ),
+    "tx_mix": (
+        None, ["source"],
+        [("n_docs", "n"), ("n_sampled", "n"), ("achieved_permille", "n"),
+         ("tok_sampled", "n")],
+    ),
 }
 
 
 def tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compound text-analysis bundle: language-ID, quality battery,
-    token counts, rolling-hash fingerprint, repetition signals — the
-    standalone tx_* queries melted into one oracle-checked frame."""
+    token counts, rolling-hash fingerprint, repetition signals,
+    benchmark decontamination, stratified sampling, and the training-mix
+    report — the standalone tx_* queries melted into one oracle-checked
+    frame."""
     from kgforge.operators.relational import _compound
 
     specs = [
@@ -257,6 +451,9 @@ QUERIES = {
     "tx_tokens": tx_tokens,
     "tx_fingerprint": tx_fingerprint,
     "tx_repetition": tx_repetition,
+    "tx_decontam": tx_decontam,
+    "tx_sample": tx_sample,
+    "tx_mix": tx_mix,
 }
 
 ORACLES = {
@@ -265,6 +462,9 @@ ORACLES = {
     "tx_tokens": ORACLE_TX_TOKENS,
     "tx_fingerprint": ORACLE_TX_FINGERPRINT,
     "tx_repetition": ORACLE_TX_REPETITION,
+    "tx_decontam": ORACLE_TX_DECONTAM,
+    "tx_sample": ORACLE_TX_SAMPLE,
+    "tx_mix": ORACLE_TX_MIX,
 }
 
 

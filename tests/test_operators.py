@@ -854,3 +854,80 @@ def test_triangles_complete_graph_identity(spark):
     want = (n - 1) * (n - 2) // 2
     assert len(got) == n
     assert set(got.values()) == {want}
+
+
+# ---- decontamination / stratified sampling / training mix ----
+
+
+def test_decontam_planted_overlap(spark):
+    """A training doc that copies a 13-gram from an eval doc's snippet
+    window (words 3..22) is flagged; sharing only 12 consecutive words
+    is not; the eval doc flags itself (its snippet grams are its own)."""
+    from kgforge.operators.textstats import decontam
+
+    ev_words = [f"w{i}" for i in range(30)]           # doc 0: eval (0 % 23 == 0)
+    snip = ev_words[2:22]                             # the snippet window
+    copy13 = " ".join(["pad"] * 3 + snip[:13] + ["pad"] * 3)
+    copy12 = " ".join(["pad"] * 3 + snip[:12] + ["pad"] * 4)
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(ev_words)),
+            (1, copy13),        # contaminated: one full 13-gram overlap
+            (2, copy12),        # clean: 12 words is below the threshold
+            (3, "x " * 5),      # clean: too short to even have 13-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_contam_grams"], r["contaminated"]) for r in decontam(docs).collect()}
+    assert got[0][1] and got[0][0] == 8       # 20-word snippet -> 8 own grams
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert len(got) == 4                      # every doc reported, zeros filled
+
+
+def test_decontam_short_eval_doc_contributes_nothing(spark):
+    """An eval-id doc under 22 words yields no snippet: nothing is
+    flagged against it, and it reports clean itself."""
+    from kgforge.operators.textstats import decontam
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e f g h i j k l m n")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in decontam(docs).collect()}
+    assert got == {0: False, 1: False}
+
+
+def test_sample_deterministic_and_consistent(spark, sf001):
+    """The sampler is a pure function of (doc_id, source): two runs
+    agree row-for-row, buckets live in [0, 1000), and the kept flag is
+    exactly bucket < rate."""
+    from kgforge.operators.textstats import tx_sample
+
+    rows = tx_sample(spark, sf001).collect()
+    again = tx_sample(spark, sf001).collect()
+    assert rows == again
+    for r in rows:
+        assert 0 <= r["bucket"] < 1000
+        assert r["sampled"] == (r["bucket"] < r["rate_permille"])
+    # the ladder actually stratifies: src0 keeps ~95%, src19 ~9.5%
+    rates = {r["source"]: r["rate_permille"] for r in rows}
+    assert rates["src0"] == 950 and rates["src19"] == 95
+
+
+def test_mix_report_accounts_every_doc(spark, sf001):
+    """tx_mix totals reconcile with tx_sample doc-for-doc: per-stratum
+    n_docs sums to the corpus, n_sampled matches the flag count, and
+    the achieved rate is the exact ratio."""
+    from kgforge.operators.textstats import tx_mix, tx_sample
+
+    sample = tx_sample(spark, sf001).collect()
+    mix = {r["source"]: r for r in tx_mix(spark, sf001).collect()}
+    assert sum(m["n_docs"] for m in mix.values()) == len(sample)
+    from collections import Counter
+
+    kept = Counter(r["source"] for r in sample if r["sampled"])
+    for src, m in mix.items():
+        assert m["n_sampled"] == kept.get(src, 0)
+        assert m["achieved_permille"] == m["n_sampled"] * 1000.0 / m["n_docs"]

@@ -133,3 +133,27 @@ def test_assoc_broadcasts_total_and_avoids_cartesian(spark):
     plan = plan_of(assoc_scores(pe))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N broadcast
+
+
+def test_sample_is_zero_shuffle_codegen(spark, sf001):
+    """The stratified sampler is a pure per-row function: no exchange,
+    no Python eval, whole-stage codegen over the scan."""
+    from kgforge.operators.textstats import tx_sample
+
+    plan = plan_of(tx_sample(spark, sf001).limit(10))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Batched: true" in plan
+
+
+def test_decontam_broadcasts_eval_grams(spark, sf001):
+    """Decontam's two joins (eval-gram semi-join, hit-count re-attach)
+    must both broadcast — the corpus side never shuffles — and the
+    gram fan-out is hashed before any join (no raw 13-word strings in
+    the plan's join keys)."""
+    from kgforge.operators.textstats import tx_decontam
+
+    plan = plan_of(tx_decontam(spark, sf001))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
