@@ -44,6 +44,8 @@ HEADLINE = [
     "tx_repetition",
     "tx_decontam",
     "tx_sample",
+    "tx_pack",
+    "tx_redact",
     "mm_meta",
     "st_tumbling_agg",
     "kg_extract",

@@ -311,6 +311,127 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
+def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents in a
+    deterministic order and chunk the token stream into fixed-length
+    training sequences (the GPT concat-and-chunk discipline). Each doc
+    reports the shard it packs into, its start offset in the shard's
+    token stream, and the training-sequence index that offset lands in.
+
+    100-TB shape: the stream is SHARDED (multiplicative hash of doc_id
+    mod N_SHARDS) and the cumulative-sum window partitions by shard —
+    the only shuffle is the window exchange on the shard key, and each
+    window partition is corpus/N_SHARDS (the knob: 64 here, ~100k at
+    100 TB keeps partitions ~1 GB). A single global window would
+    funnel the corpus through one reducer; this never does."""
+    d = read_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.col("text"), " "))
+    rows = d.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(SAMPLE_A)) % F.lit(SAMPLE_MOD) % 64).alias("shard"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long")
+    return rows.select(
+        "doc_id", "shard", "n_tok",
+        start.alias("start_off"),
+        F.floor(start / F.lit(2048)).cast("long").alias("seq_id"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TX_PACK = """
+WITH s AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 4294967296 % 64 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT doc_id, shard, n_tok,
+       CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok AS BIGINT)
+         AS start_off,
+       CAST(FLOOR((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok)
+            / 2048.0) AS BIGINT) AS seq_id
+FROM s ORDER BY doc_id
+"""
+
+
+def redact(docs: DataFrame) -> DataFrame:
+    """PII redaction battery: count and scrub emails and IPv4 literals
+    (the Dolma/ROOTS-style pre-release scrub). The test corpus is
+    synthetic word salad with no organic PII, so — exactly like
+    dd_url's messy-variant synthesis — each doc is first augmented
+    with a deterministic contact line derived from its own doc_id;
+    both engines build the identical augmented text, then both run the
+    identical scrub, so survivors are guaranteed at every sf and the
+    check can never pass vacuously as 0=0.
+
+    All regexp work is JVM-side codegen; the melted cell carries the
+    md5 of the redacted text, not the text itself."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" and admin@test.org")).otherwise(
+            F.lit("")
+        ),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ip_re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, email_re, "<EMAIL>"), ip_re, "<IP>"
+    )
+    # patterns go through F.lit, not F.expr: a SQL string literal would
+    # unescape '\.' to '.' and silently loosen the regex
+    return docs.select(
+        "doc_id", aug.alias("_aug"), redacted.alias("_red")
+    ).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("_aug", F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("_aug", F.lit(ip_re), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5("_red").alias("redacted_md5"),
+    )
+
+
+def tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, "documents", sf_dir)
+    return redact(d).orderBy("doc_id")
+
+
+ORACLE_TX_REDACT = r"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0 THEN ' and admin@test.org' ELSE '' END
+           AS aug
+  FROM documents),
+r AS (
+  SELECT doc_id, aug,
+         regexp_replace(
+           regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS red
+  FROM a)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(aug,
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', 0)) AS BIGINT)
+         AS n_ips,
+       md5(red) AS redacted_md5
+FROM r ORDER BY doc_id
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style intra-document repetition signals over docs(doc_id,
     text): n_words, n_distinct_words, and the duplicate fraction of
@@ -427,6 +548,14 @@ _TX_CELLS = {
         [("n_docs", "n"), ("n_sampled", "n"), ("achieved_permille", "n"),
          ("tok_sampled", "n")],
     ),
+    "tx_pack": (
+        None, ["doc_id"],
+        [("shard", "n"), ("n_tok", "n"), ("start_off", "n"), ("seq_id", "n")],
+    ),
+    "tx_redact": (
+        None, ["doc_id"],
+        [("n_emails", "n"), ("n_ips", "n"), ("redacted_md5", "s")],
+    ),
 }
 
 
@@ -454,6 +583,8 @@ QUERIES = {
     "tx_decontam": tx_decontam,
     "tx_sample": tx_sample,
     "tx_mix": tx_mix,
+    "tx_pack": tx_pack,
+    "tx_redact": tx_redact,
 }
 
 ORACLES = {
@@ -465,6 +596,8 @@ ORACLES = {
     "tx_decontam": ORACLE_TX_DECONTAM,
     "tx_sample": ORACLE_TX_SAMPLE,
     "tx_mix": ORACLE_TX_MIX,
+    "tx_pack": ORACLE_TX_PACK,
+    "tx_redact": ORACLE_TX_REDACT,
 }
 
 

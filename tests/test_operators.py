@@ -931,3 +931,61 @@ def test_mix_report_accounts_every_doc(spark, sf001):
     for src, m in mix.items():
         assert m["n_sampled"] == kept.get(src, 0)
         assert m["achieved_permille"] == m["n_sampled"] * 1000.0 / m["n_docs"]
+
+
+def test_pack_offsets_are_contiguous_per_shard(spark, sf001):
+    """Sequence packing: within every shard the docs' [start_off,
+    start_off + n_tok) intervals tile the token stream exactly (no gap,
+    no overlap), and seq_id is the 2048-token chunk the doc starts in."""
+    from collections import defaultdict
+
+    from kgforge.operators.textstats import tx_pack
+
+    rows = tx_pack(spark, sf001).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    stream_ends = {}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["start_off"] == off
+            assert r["seq_id"] == off // 2048
+            off += r["n_tok"]
+        stream_ends[shard] = off
+    # token conservation: the shard streams jointly carry every token
+    assert sum(r["n_tok"] for r in rows) == sum(stream_ends.values())
+
+
+def test_pack_is_partition_invariant(spark, sf001):
+    """The packing is a pure function of the data (hash shard + doc_id
+    order), so the physical partitioning of the input must not change
+    a single offset."""
+    from kgforge.operators.textstats import tx_pack
+
+    a = sorted(map(tuple, tx_pack(spark, sf001).collect()))
+    b = sorted(map(tuple, tx_pack(spark, sf001).repartition(13).collect()))
+    assert a == b
+
+
+def test_redact_scrubs_planted_and_organic_pii(spark):
+    from kgforge.operators.textstats import redact
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain words only"),                   # %3==0 -> 2 planted emails
+            (1, "write to bob@corp.io now"),           # organic + 1 planted
+            (2, "server at 192.168.0.1 said hi"),      # organic IP + planted IP
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact(docs).collect()}
+    assert got[0]["n_emails"] == 2 and got[0]["n_ips"] == 1
+    assert got[1]["n_emails"] == 2 and got[1]["n_ips"] == 1
+    assert got[2]["n_emails"] == 1 and got[2]["n_ips"] == 2
+    # the scrub changed the text: md5(red) != md5(aug) for every doc
+    import hashlib
+
+    for r in got.values():
+        assert len(r["redacted_md5"]) == 32

@@ -157,3 +157,25 @@ def test_decontam_broadcasts_eval_grams(spark, sf001):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_shuffles_only_on_shard(spark, sf001):
+    """Sequence packing's window must partition by the shard key — a
+    global (unpartitioned) window would funnel the corpus through one
+    reducer. The plan may contain the shard hash exchange and nothing
+    single-partition."""
+    from kgforge.operators.textstats import tx_pack
+
+    plan = plan_of(tx_pack(spark, sf001).limit(10))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_is_zero_shuffle_codegen(spark, sf001):
+    from kgforge.operators.textstats import tx_redact
+
+    plan = plan_of(tx_redact(spark, sf001).limit(10))
+    assert "Exchange" not in plan  # ordered limit folds to TakeOrdered
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Batched: true" in plan
