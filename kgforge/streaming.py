@@ -361,6 +361,62 @@ def run_stream_dedup_parity(
     return set(stream_hashes), {r["text_md5"] for r in batch}
 
 
+def run_stream_ingest_gate_parity(
+    spark: SparkSession, docs_dir: str, max_files_per_trigger: int = 1
+) -> tuple[list, list]:
+    """Streaming twin of the training-data ingest gates: the quality
+    keep-flag (tx_quality's battery), the deterministic sampler
+    (tx_sample's bucket-vs-rate), and the PII scrub (tx_redact) are all
+    stateless per-row expressions, so the IDENTICAL plan runs over
+    readStream micro-batches and over the batch DataFrame — no state
+    store, no watermark, parity is row-for-row equality (unlike the
+    dedup twin, where survival is arrival-order-dependent and only the
+    set is comparable). This is the live-crawl shape: filter + sample +
+    scrub documents as they land, leaving dedup/decontam to the batch
+    compaction stage.
+
+    Returns (stream_rows, batch_rows), both sorted by doc_id."""
+    from kgforge.operators.textstats import _sample_cols, redact
+
+    schema = "doc_id long, text string, source string"
+
+    def gates(df: DataFrame) -> DataFrame:
+        words = F.split(F.col("text"), " ")
+        n_words = F.size(words)
+        mean_wl = (F.length("text") - (n_words - 1)) / n_words
+        bucket, rate = _sample_cols()
+        kept = df.select(
+            "doc_id", "text", bucket, rate,
+            ((n_words >= 10) & (mean_wl >= 2.0) & (mean_wl <= 12.0)).alias("keep"),
+        ).filter(F.col("keep") & (F.col("bucket") < F.col("rate_permille")))
+        return redact(kept)
+
+    stream = gates(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st_gate_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = spark.sql(
+            "SELECT * FROM st_gate_out ORDER BY doc_id"
+        ).collect()
+    finally:
+        q.stop()
+    batch_rows = (
+        gates(spark.read.schema(schema).parquet(docs_dir))
+        .orderBy("doc_id")
+        .collect()
+    )
+    return stream_rows, batch_rows
+
+
 QUERIES = {
     "st_tumbling_agg": st_tumbling_agg,
     "st_sessionize": st_sessionize,

@@ -989,3 +989,38 @@ def test_redact_scrubs_planted_and_organic_pii(spark):
 
     for r in got.values():
         assert len(r["redacted_md5"]) == 32
+
+
+def test_stream_ingest_gate_parity(spark, tmp_path):
+    """Quality gate + sampler + PII scrub are stateless, so streaming
+    micro-batches must reproduce the batch result row-for-row — and the
+    gates must actually drop something (never a vacuous parity)."""
+    from kgforge.streaming import run_stream_ingest_gate_parity
+
+    d = str(tmp_path / "docs")
+    long_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [(i, long_text, "src0") for i in range(10)] + [
+        (100 + i, "too short", "src0") for i in range(5)  # fails n_words >= 10
+    ]
+    rows2 = [(200 + i, long_text, "src19") for i in range(10)]  # rate 95/1000
+    schema = "doc_id long, text string, source string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(d + "/b2")
+    # flatten into one dir so the stream sees two files
+    import glob
+    import os
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(d + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:05d}.parquet")
+
+    stream_rows, batch_rows = run_stream_ingest_gate_parity(spark, flat)
+    assert [tuple(r) for r in stream_rows] == [tuple(r) for r in batch_rows]
+    kept_ids = {r["doc_id"] for r in batch_rows}
+    assert kept_ids, "gates dropped everything"
+    assert len(kept_ids) < 25, "gates dropped nothing"
+    assert not any(100 <= i < 105 for i in kept_ids)  # quality gate worked
+    # output is the scrubbed projection, not raw text
+    assert set(batch_rows[0].asDict()) == {"doc_id", "n_emails", "n_ips", "redacted_md5"}
