@@ -1,0 +1,243 @@
+"""Scaling-efficiency evidence for the TRAINING-DATA ops (companion to
+BENCH/scaling.py, which measures the flagship KG pipeline): the same
+text gauntlet — ingest gates + PII scrub, sequence packing, exact
+dedup, passage dedup, benchmark decontamination — over the same
+synthesized documents table at local[N] and local[4N];
+efficiency = tput(4N) / (4 x tput(N)), target >= 0.8 (north rule).
+
+The fixture is generated ONCE (fresh JVM), written to /dev/shm, and
+read by both levels; each level runs in its own subprocess so no
+JVM/executor state leaks. Every op's output row count is collected
+(untimed) and asserted IDENTICAL across levels — the ops are
+deterministic by design (multiplicative-hash sampler, hash shards,
+md5 grams), so any count drift is a parallelism bug.
+
+Run:  python BENCH/scaling_text.py [--docs 2000000] [--n 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+A1, A2, M32 = 2654435761, 2246822519, 1 << 32
+
+
+def synth_docs(spark, n_docs: int, out: str) -> None:
+    """Deterministic word-salad corpus with planted structure: ~5k-word
+    vocab, 40-79 words/doc, and every 13th doc copies the text basis of
+    its 1300-block leader (exact-dup groups for dd_exact / dd_passage /
+    decontam to find). Pure codegen generation — no driver loops."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, n_docs, 1, numPartitions=64)
+    base = F.when(
+        F.col("id") % 13 == 0, (F.floor(F.col("id") / 1300) * 1300).cast("long")
+    ).otherwise(F.col("id"))
+    n_words = (F.col("b") * A1) % M32 % 40 + 40
+    words = F.transform(
+        F.sequence(F.lit(1), n_words.cast("int")),
+        lambda i: F.concat(
+            F.lit("w"), (((F.col("b") * A1 + i * A2) % M32) % 5000).cast("string")
+        ),
+    )
+    (
+        ids.select(
+            F.col("id").alias("doc_id"),
+            base.alias("b"),
+            F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+        )
+        .select("doc_id", "source", F.concat_ws(" ", words).alias("text"))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+GAUNTLET = ("redact_gates", "pack", "dd_exact", "dd_passage", "decontam")
+
+
+def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
+    """Time each op (noop sink: full plan materialized, no driver
+    collection), then collect output counts untimed for the
+    determinism assert. Returns (timings, counts)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.dedup import passage_dedup
+    from kgforge.operators.textstats import _sample_cols, decontam, redact
+
+    def exact(d):
+        # the frame form of dd_exact (dedup.py), minus the test-clone seeding
+        return (
+            d.groupBy(F.md5("text").alias("text_md5"))
+            .agg(
+                F.min("doc_id").alias("keeper_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .filter(F.col("n_copies") > 1)
+        )
+
+    def pack(d):
+        from pyspark.sql import Window
+
+        n_tok = F.size(F.split(F.col("text"), " "))
+        rows = d.select(
+            "doc_id",
+            ((F.col("doc_id") * F.lit(A1)) % F.lit(M32) % 64).alias("shard"),
+            n_tok.cast("long").alias("n_tok"),
+        )
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        start = (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long")
+        return rows.select(
+            "doc_id", "shard", "n_tok", start.alias("start_off"),
+            F.floor(start / F.lit(2048)).cast("long").alias("seq_id"),
+        )
+
+    def gates(d):
+        words = F.split(F.col("text"), " ")
+        n_words = F.size(words)
+        mean_wl = (F.length("text") - (n_words - 1)) / n_words
+        bucket, rate = _sample_cols()
+        kept = d.select(
+            "doc_id", "text", bucket, rate,
+            ((n_words >= 10) & (mean_wl >= 2.0) & (mean_wl <= 12.0)).alias("keep"),
+        ).filter(F.col("keep") & (F.col("bucket") < F.col("rate_permille")))
+        return redact(kept)
+
+    docs = spark.read.parquet(docs_path)
+    ops = {
+        "redact_gates": lambda: gates(docs),
+        "pack": lambda: pack(docs),
+        "dd_exact": lambda: exact(docs),
+        "dd_passage": lambda: passage_dedup(docs),
+        "decontam": lambda: decontam(docs),
+    }
+    # per-op checksum column: summing a value column catches bugs a bare
+    # row count cannot (e.g. sum(start_off) changes if the packing
+    # window ever orders differently across parallelism levels)
+    checksum_col = {
+        "redact_gates": "n_emails",
+        "pack": "start_off",
+        "dd_exact": "n_copies",
+        "dd_passage": "n_occ",
+        "decontam": "n_contam_grams",
+    }
+    timings, counts = {}, {}
+    for name in GAUNTLET:
+        df = ops[name]()
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        row = (
+            ops[name]()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(checksum_col[name]).cast("long").alias("chk"),
+            )
+            .collect()[0]
+        )
+        counts[name] = [row["n"], row["chk"]]
+    return timings, counts
+
+
+def child_main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--docs-path", required=True)
+    args = ap.parse_args(sys.argv[2:])
+    from kgforge.conf import get_spark
+
+    spark = get_spark("scale-text", cpus=args.cpus, shuffle_partitions=4 * args.cpus)
+    timings, counts = run_gauntlet(spark, args.docs_path)
+    wall = sum(timings.values())
+    print(json.dumps({
+        "cpus": args.cpus, "wall_sec": round(wall, 3),
+        "timings": timings, "counts": counts,
+    }))
+    return 0
+
+
+def synth_main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, required=True)
+    ap.add_argument("--docs-path", required=True)
+    args = ap.parse_args(sys.argv[2:])
+    from kgforge.conf import get_spark
+
+    spark = get_spark("scale-text-synth", cpus=8, shuffle_partitions=32)
+    synth_docs(spark, args.docs, args.docs_path)
+    return 0
+
+
+def run_sub(mode: str, extra: list[str]) -> str:
+    proc = subprocess.run(
+        [sys.executable, __file__, mode, *extra],
+        capture_output=True, text=True, timeout=10800,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"{mode} failed:\n{proc.stderr[-2000:]}")
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    return lines[-1] if lines else ""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=2, help="small level N (large is 4N)")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    fixture = tempfile.mkdtemp(prefix="kgf_scaletext_", dir=base)
+    docs_path = os.path.join(fixture, "docs.parquet")
+    try:
+        print(f"synthesizing {args.docs:,} docs -> {docs_path}", file=sys.stderr)
+        run_sub("synth", ["--docs", str(args.docs), "--docs-path", docs_path])
+        load0 = round(os.getloadavg()[0], 2)
+        levels = {}
+        for cpus in (args.n, 4 * args.n):
+            levels[cpus] = json.loads(
+                run_sub("child", ["--cpus", str(cpus), "--docs-path", docs_path])
+            )
+            print(f"local[{cpus}]: {levels[cpus]['wall_sec']}s", file=sys.stderr)
+        small, large = levels[args.n], levels[4 * args.n]
+        assert small["counts"] == large["counts"], (
+            f"nondeterminism across levels: {small['counts']} != {large['counts']}"
+        )
+        tput_s = args.docs / small["wall_sec"]
+        tput_l = args.docs / large["wall_sec"]
+        eff = tput_l / (4 * tput_s)
+        summary = {
+            "job": "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, decontam)",
+            "docs": args.docs, "n_small": args.n, "n_large": 4 * args.n,
+            "wall_small": small["wall_sec"], "wall_large": large["wall_sec"],
+            "tput_small_docs_per_sec": round(tput_s, 1),
+            "tput_large_docs_per_sec": round(tput_l, 1),
+            "efficiency": round(eff, 3),
+            "counts": small["counts"],
+            "timings_small": small["timings"], "timings_large": large["timings"],
+            "load_avg_at_start": load0,
+        }
+        print(json.dumps(summary))
+        if args.json_out:
+            Path(args.json_out).write_text(json.dumps(summary, indent=1))
+        return 0
+    finally:
+        shutil.rmtree(fixture, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "child":
+        sys.exit(child_main())
+    if len(sys.argv) > 1 and sys.argv[1] == "synth":
+        sys.exit(synth_main())
+    sys.exit(main())
