@@ -99,6 +99,63 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
+DOCUMENTS_FIELDS = [
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+]
+
+QUARANTINE_COL = "_quarantine"
+
+
+def read_documents_text(
+    spark: SparkSession, path: str, fmt: str = "jsonl"
+) -> DataFrame:
+    """Webtext ingestion for line-oriented formats: documents arriving
+    as JSONL or CSV, optionally gzipped (Spark decompresses *.gz
+    transparently; each gz file is one non-splittable task, so crawl
+    dumps should arrive as many files — the WARC/CC convention).
+
+    The schema is EXPLICIT (inference would add a full extra pass over
+    100 TB) and the read is PERMISSIVE: a malformed line lands in the
+    `_quarantine` column instead of failing the job (FAILFAST would
+    kill a week-long backfill for one bad line; DROPMALFORMED would
+    lose it silently — the same no-silent-drops rule the blocking caps
+    follow). Split the result with `split_quarantine`.
+
+    Source-binding analog of the reference's synonym/view layer
+    (Oracle/PCORNetLoader_ora.sql:94-137) for non-table physical
+    formats."""
+    schema = T.StructType(
+        DOCUMENTS_FIELDS + [T.StructField(QUARANTINE_COL, T.StringType(), True)]
+    )
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", QUARANTINE_COL)
+    )
+    if fmt == "jsonl":
+        return reader.json(path)
+    if fmt == "csv":
+        return reader.option("header", True).csv(path)
+    raise ValueError(f"unknown text source format {fmt!r}")
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, quarantined_raw_lines). The cache is required: Spark
+    refuses plans that reference ONLY the internal corrupt-record
+    column of a JSON/CSV scan (SPARK-21610), and at ingestion scale the
+    batch is about to be consumed anyway."""
+    df = df.cache()
+    good = df.filter(F.col(QUARANTINE_COL).isNull()).drop(QUARANTINE_COL)
+    bad = df.filter(F.col(QUARANTINE_COL).isNotNull()).select(
+        F.col(QUARANTINE_COL).alias("raw_line")
+    )
+    return good, bad
+
+
 def write_triples(
     df: DataFrame, target: str, mode: str = "overwrite", table_writer=None
 ) -> str:

@@ -1024,3 +1024,54 @@ def test_stream_ingest_gate_parity(spark, tmp_path):
     assert not any(100 <= i < 105 for i in kept_ids)  # quality gate worked
     # output is the scrubbed projection, not raw text
     assert set(batch_rows[0].asDict()) == {"doc_id", "n_emails", "n_ips", "redacted_md5"}
+
+
+# ---- line-oriented source formats (JSONL / CSV, gz, quarantine) ----
+
+
+def test_jsonl_source_roundtrip_with_quarantine(spark, sf001, tmp_path):
+    """documents written as JSONL (one plain file + one gzipped, the
+    many-files crawl-dump convention) read back equal to the parquet
+    source; two malformed lines land in quarantine, not on the floor
+    and not as a job failure."""
+    import gzip
+    import json as _json
+
+    from kgforge.sources import read_documents_text, read_table, split_quarantine
+
+    rows = [r.asDict() for r in read_table(spark, "documents", sf001).collect()]
+    half = len(rows) // 2
+    d = tmp_path / "jsonl_src"
+    d.mkdir()
+    with open(d / "part0.jsonl", "w") as f:
+        for r in rows[:half]:
+            f.write(_json.dumps(r) + "\n")
+        f.write("{this is not json\n")
+    with gzip.open(d / "part1.jsonl.gz", "wt") as f:
+        for r in rows[half:]:
+            f.write(_json.dumps(r) + "\n")
+        f.write("{\"doc_id\": \"also bad\n")
+
+    good, bad = split_quarantine(read_documents_text(spark, str(d), "jsonl"))
+    got = sorted(tuple(r) for r in good.collect())
+    want = sorted((r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"]) for r in rows)
+    assert got == want
+    assert bad.count() == 2
+
+
+def test_csv_source_quarantines_type_garbage(spark, sf001, tmp_path):
+    from kgforge.sources import read_documents_text, read_table, split_quarantine
+
+    rows = [r.asDict() for r in read_table(spark, "documents", sf001).collect()][:50]
+    p = tmp_path / "docs.csv"
+    with open(p, "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        for r in rows:
+            assert "," not in r["text"]  # synthetic word salad is comma-free
+            f.write(f'{r["doc_id"]},{r["text"]},{r["lang"]},{r["source"]},{r["n_chars"]}\n')
+        f.write("not_a_long,oops,en,src0,not_a_long_either\n")
+
+    good, bad = split_quarantine(read_documents_text(spark, str(p), "csv"))
+    assert good.count() == 50
+    assert bad.count() == 1
+    assert "not_a_long" in bad.collect()[0]["raw_line"]
