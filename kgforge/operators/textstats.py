@@ -432,6 +432,81 @@ FROM r ORDER BY doc_id
 """
 
 
+def tx_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report: how many documents each ingest gate drops
+    FIRST (language-ID, repetition, sampler — ordered as the pipeline
+    applies them) and how many remain after each stage — the number a
+    filter-pipeline owner reads to see which gate is doing the work.
+    Gate thresholds chosen so every stage fires on the synthetic corpus
+    at every sf (a stage that can only ever report 0 proves nothing —
+    the rel_anti_join lesson).
+
+    One codegen pass computes each doc's first-failing gate, one tiny
+    aggregation groups by it; the cumulative window runs over the ≤4
+    stage rows, so the single-partition window is O(stages), never
+    O(corpus)."""
+    d = read_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    en_ratio = F.size(F.filter(words, lambda w: w.isin(*EN_STOP))) / n
+    dup_frac = (n - F.size(F.array_distinct(words))).cast("double") / n
+    bucket, rate = _sample_cols()
+    stage = (
+        F.when(en_ratio < 0.05, F.lit("1_langid"))
+        .when(dup_frac > 0.6, F.lit("2_repetition"))
+        .when(F.col("b") >= F.col("r"), F.lit("3_sample"))
+        .otherwise(F.lit("4_kept"))
+    )
+    from pyspark.sql import Window
+
+    counted = (
+        d.select("doc_id", "text", bucket.alias("b"), rate.alias("r"))
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_first_fail"))
+    )
+    drops = F.when(F.col("stage") == "4_kept", F.lit(0)).otherwise(
+        F.col("n_first_fail")
+    )
+    w_cum = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counted.select(
+        "stage",
+        F.col("n_first_fail").cast("long").alias("n_first_fail"),
+        (F.sum("n_first_fail").over(w_all) - F.sum(drops).over(w_cum))
+        .cast("long")
+        .alias("n_remaining_after"),
+    ).orderBy("stage")
+
+
+ORACLE_TX_FUNNEL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','data'))) AS DOUBLE)
+           / len(string_split(text,' ')) AS en_ratio,
+         CAST(len(string_split(text,' ')) - len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           / len(string_split(text,' ')) AS dup_frac,
+         (doc_id * 2654435761) % 4294967296 % 1000 AS b,
+         950 - 45 * (CAST(substr(source, 4) AS INT) % 20) AS r
+  FROM documents),
+st AS (
+  SELECT CASE WHEN en_ratio < 0.05 THEN '1_langid'
+              WHEN dup_frac > 0.6 THEN '2_repetition'
+              WHEN b >= r THEN '3_sample'
+              ELSE '4_kept' END AS stage
+  FROM s),
+g AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_first_fail FROM st GROUP BY stage)
+SELECT stage, n_first_fail,
+       CAST(sum(n_first_fail) OVER ()
+            - sum(CASE WHEN stage = '4_kept' THEN 0 ELSE n_first_fail END)
+              OVER (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_remaining_after
+FROM g ORDER BY stage
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style intra-document repetition signals over docs(doc_id,
     text): n_words, n_distinct_words, and the duplicate fraction of
@@ -556,6 +631,10 @@ _TX_CELLS = {
         None, ["doc_id"],
         [("n_emails", "n"), ("n_ips", "n"), ("redacted_md5", "s")],
     ),
+    "tx_funnel": (
+        None, ["stage"],
+        [("n_first_fail", "n"), ("n_remaining_after", "n")],
+    ),
 }
 
 
@@ -585,6 +664,7 @@ QUERIES = {
     "tx_mix": tx_mix,
     "tx_pack": tx_pack,
     "tx_redact": tx_redact,
+    "tx_funnel": tx_funnel,
 }
 
 ORACLES = {
@@ -598,6 +678,7 @@ ORACLES = {
     "tx_mix": ORACLE_TX_MIX,
     "tx_pack": ORACLE_TX_PACK,
     "tx_redact": ORACLE_TX_REDACT,
+    "tx_funnel": ORACLE_TX_FUNNEL,
 }
 
 

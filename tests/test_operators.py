@@ -1075,3 +1075,22 @@ def test_csv_source_quarantines_type_garbage(spark, sf001, tmp_path):
     assert good.count() == 50
     assert bad.count() == 1
     assert "not_a_long" in bad.collect()[0]["raw_line"]
+
+
+def test_funnel_first_fail_precedence(spark, sf001):
+    """Funnel accounting: a doc failing several gates is counted under
+    the FIRST one only; per-stage counts plus survivors telescope back
+    to the corpus size, and n_remaining_after is the running total."""
+    from kgforge.operators.textstats import tx_funnel
+    from kgforge.sources import read_table
+
+    rows = {r["stage"]: r for r in tx_funnel(spark, sf001).collect()}
+    total = read_table(spark, "documents", sf001).count()
+    assert sum(r["n_first_fail"] for r in rows.values()) == total
+    assert all(r["n_first_fail"] > 0 for r in rows.values()), "vacuous stage"
+    remaining = total
+    for stage in ("1_langid", "2_repetition", "3_sample"):
+        remaining -= rows[stage]["n_first_fail"]
+        assert rows[stage]["n_remaining_after"] == remaining
+    assert rows["4_kept"]["n_first_fail"] == remaining
+    assert rows["4_kept"]["n_remaining_after"] == remaining
