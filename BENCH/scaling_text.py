@@ -73,7 +73,7 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
 
     from kgforge.operators.dedup import passage_dedup
-    from kgforge.operators.textstats import _sample_cols, decontam, redact
+    from kgforge.operators.textstats import _sample_cols, decontam, pack_docs, redact
 
     def exact(d):
         # the frame form of dd_exact (dedup.py), minus the test-clone seeding
@@ -84,22 +84,6 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
                 F.count(F.lit(1)).alias("n_copies"),
             )
             .filter(F.col("n_copies") > 1)
-        )
-
-    def pack(d):
-        from pyspark.sql import Window
-
-        n_tok = F.size(F.split(F.col("text"), " "))
-        rows = d.select(
-            "doc_id",
-            ((F.col("doc_id") * F.lit(A1)) % F.lit(M32) % 64).alias("shard"),
-            n_tok.cast("long").alias("n_tok"),
-        )
-        w = Window.partitionBy("shard").orderBy("doc_id")
-        start = (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long")
-        return rows.select(
-            "doc_id", "shard", "n_tok", start.alias("start_off"),
-            F.floor(start / F.lit(2048)).cast("long").alias("seq_id"),
         )
 
     def gates(d):
@@ -116,7 +100,7 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
     docs = spark.read.parquet(docs_path)
     ops = {
         "redact_gates": lambda: gates(docs),
-        "pack": lambda: pack(docs),
+        "pack": lambda: pack_docs(docs),
         "dd_exact": lambda: exact(docs),
         "dd_passage": lambda: passage_dedup(docs),
         "decontam": lambda: decontam(docs),

@@ -311,7 +311,7 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
-def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_docs(docs: DataFrame, n_shards: int = 64, seq_len: int = 2048) -> DataFrame:
     """Sequence packing for pretraining: concatenate documents in a
     deterministic order and chunk the token stream into fixed-length
     training sequences (the GPT concat-and-chunk discipline). Each doc
@@ -319,18 +319,19 @@ def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream, and the training-sequence index that offset lands in.
 
     100-TB shape: the stream is SHARDED (multiplicative hash of doc_id
-    mod N_SHARDS) and the cumulative-sum window partitions by shard —
+    mod n_shards) and the cumulative-sum window partitions by shard —
     the only shuffle is the window exchange on the shard key, and each
-    window partition is corpus/N_SHARDS (the knob: 64 here, ~100k at
+    window partition is corpus/n_shards (the knob: 64 here, ~100k at
     100 TB keeps partitions ~1 GB). A single global window would
     funnel the corpus through one reducer; this never does."""
-    d = read_table(spark, "documents", sf_dir)
     from pyspark.sql import Window
 
     n_tok = F.size(F.split(F.col("text"), " "))
-    rows = d.select(
+    rows = docs.select(
         "doc_id",
-        ((F.col("doc_id") * F.lit(SAMPLE_A)) % F.lit(SAMPLE_MOD) % 64).alias("shard"),
+        ((F.col("doc_id") * F.lit(SAMPLE_A)) % F.lit(SAMPLE_MOD) % n_shards).alias(
+            "shard"
+        ),
         n_tok.cast("long").alias("n_tok"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
@@ -338,8 +339,12 @@ def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "doc_id", "shard", "n_tok",
         start.alias("start_off"),
-        F.floor(start / F.lit(2048)).cast("long").alias("seq_id"),
-    ).orderBy("doc_id")
+        F.floor(start / F.lit(seq_len)).cast("long").alias("seq_id"),
+    )
+
+
+def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_docs(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
 ORACLE_TX_PACK = """
