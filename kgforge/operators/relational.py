@@ -1182,6 +1182,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 versioning: each observation of
+    a (user_id, event_type) attribute opens a version valid
+    [valid_from, valid_to); the newest version is open-ended and flagged
+    current. This is the temporal complement of rel_merge_upsert's
+    latest-wins MERGE — instead of discarding superseded rows the table
+    keeps the full version history (the reference keeps only RAW_*
+    provenance of the latest value; a 100-TB KG wants the history,
+    e.g. a page's re-crawled assertions over warc_ts).
+
+    Plan: one window exchange on the (user_id, event_type) key computes
+    lead/row_number together — versioning is a single shuffle, and the
+    partition key has enough cardinality that no salting is needed (the
+    skew case is rel_salted_stats' territory)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).cast("long").alias("version"),
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "event_type", "version")
+
+
+ORACLE_SCD2 = """
+SELECT user_id, event_type,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+ORDER BY user_id, event_type, version
+"""
+
+
 # ---------------------------------------------------------------------------
 # Compound queries — melted multi-operator bundles
 # ---------------------------------------------------------------------------
@@ -1333,6 +1377,11 @@ _WINDOW_CELLS = {
         [("o_orderkey", "n"), ("o_totalprice", "n")],
     ),
     "rel_topk_freshness": (None, [], [("n", "n"), ("avg_epoch", "n")]),
+    "rel_scd2": (
+        None, ["user_id", "event_type", "version"],
+        [("event_id", "n"), ("value", "n"), ("valid_from", "t"),
+         ("valid_to", "t"), ("is_current", "s")],
+    ),
 }
 
 _PIVOT_CELLS = {
@@ -1482,6 +1531,7 @@ QUERIES = {
     "rel_json_qualifier": q_json_qualifier,
     "rel_value_guard": q_value_guard,
     "rel_hierarchy_propagation": q_hierarchy_propagation,
+    "rel_scd2": q_scd2,
 }
 
 ORACLES = {
@@ -1522,6 +1572,7 @@ ORACLES = {
     "rel_json_qualifier": ORACLE_JSON_QUALIFIER,
     "rel_value_guard": ORACLE_VALUE_GUARD,
     "rel_hierarchy_propagation": ORACLE_HIERARCHY_PROPAGATION,
+    "rel_scd2": ORACLE_SCD2,
 }
 
 # compound bundles — built from the standalone entries above, so they

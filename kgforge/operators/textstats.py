@@ -512,6 +512,211 @@ FROM g ORDER BY stage
 """
 
 
+VOCAB_TOPK = 100
+BPE_TOPK = 50
+CLS_DIM = 64  # hashed-feature dimension of the linear classifier
+TOPK_BUCKETS = 64
+
+
+def global_topk(df: DataFrame, order_cols: list, k: int, rank_name: str = "rnk") -> DataFrame:
+    """Scale-safe global top-k rank. Spark's InferWindowGroupLimit only
+    rewrites rank-filter windows that HAVE a partition spec (verified
+    empirically: the same filter over Window.orderBy gets no
+    WindowGroupLimit), so a bare global row_number window funnels the
+    entire input through one reducer — the anti-pattern this helper
+    exists to avoid.
+
+    Phase 1 ranks inside hash buckets: the bucket window DOES get the
+    map-side WindowGroupLimit, so every input partition pre-prunes to k
+    rows before the bucket exchange. Phase 2 ranks the <= buckets*k
+    survivors globally — the single-partition window sees a bounded row
+    count regardless of input size. Caller must pass a TOTAL order
+    (tie-broken) for cross-run determinism."""
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.xxhash64(*df.columns), F.lit(TOPK_BUCKETS))
+    w_local = Window.partitionBy("_tkb").orderBy(*order_cols)
+    w_global = Window.orderBy(*order_cols)
+    return (
+        df.withColumn("_tkb", bucket)
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .withColumn(rank_name, F.row_number().over(w_global))
+        .filter(F.col(rank_name) <= k)
+        .drop("_tkb", "_lr")
+    )
+
+
+def tx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary / Zipf statistics: top-k words by corpus frequency with
+    document frequency and cumulative token coverage — the table a
+    tokenizer-training run reads first (vocab truncation point, coverage
+    curve).
+
+    100-TB shape: the word explode feeds a groupBy with map-side partial
+    aggregation (hub words like 'the' collapse to one row per partition
+    before the shuffle); the global top-k goes through global_topk's
+    two-phase rank, so no reducer ever sees the full vocabulary. The
+    corpus token total rides in as a broadcast 1-row aggregate (no
+    global window over the vocab). The cumulative-coverage window runs
+    over the k ranked rows only."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, "documents", sf_dir)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    total = d.agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tok")
+    )
+    ranked = global_topk(vocab, [F.desc("cnt"), F.asc("word")], VOCAB_TOPK)
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "word",
+            "cnt",
+            "n_docs",
+            (F.col("cnt").cast("double") / F.col("total_tok")).alias("frac"),
+            (F.sum("cnt").over(w_cum).cast("double") / F.col("total_tok")).alias(
+                "cum_coverage"
+            ),
+        )
+        .orderBy("rnk")
+    )
+
+
+ORACLE_TX_VOCAB = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+v AS (SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY word),
+t AS (SELECT count(*) AS total FROM w),
+r AS (SELECT word, cnt, n_docs, row_number() OVER (ORDER BY cnt DESC, word) AS rnk, total
+      FROM v, t)
+SELECT CAST(rnk AS INT) AS rnk, word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(cnt AS DOUBLE)/total AS frac,
+       CAST(sum(cnt) OVER (ORDER BY rnk) AS DOUBLE)/total AS cum_coverage
+FROM r WHERE rnk <= {VOCAB_TOPK} ORDER BY rnk
+"""
+
+
+def tx_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step pair counting: corpus frequency of every adjacent
+    character pair, weighted by word frequency — iteration 1 of
+    byte-pair-encoding tokenizer training (Sennrich et al. 2016).
+
+    The efficiency trick IS the operator: pairs are enumerated over the
+    DISTINCT vocabulary (each word once, weighted by its count), not
+    over the corpus — after the wordcount shuffle, the pair stage is
+    vocabulary-sized and therefore corpus-size-independent, which is
+    what makes repeated BPE iterations feasible at 100 TB. Pair explode
+    is array-slot arithmetic in codegen; top-k uses global_topk's
+    two-phase rank."""
+    d = read_table(spark, "documents", sf_dir)
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "wcnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substr(F.col("word"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wcnt").cast("long").alias("pair_count"))
+    )
+    ranked = global_topk(pairs, [F.desc("pair_count"), F.asc("pair")], BPE_TOPK)
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rnk"), "pair", "pair_count"
+    ).orderBy("rnk")
+
+
+ORACLE_TX_BPE = f"""
+WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+v AS (SELECT word, count(*) AS wcnt FROM w GROUP BY word),
+p AS (SELECT unnest(list_transform(range(1, length(word)),
+                    i -> substring(word, CAST(i AS INT), 2))) AS pair, wcnt
+      FROM v WHERE length(word) >= 2),
+g AS (SELECT pair, sum(wcnt) AS pair_count FROM p GROUP BY pair),
+r AS (SELECT pair, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, pair) AS rnk FROM g)
+SELECT CAST(rnk AS INT) AS rnk, pair, CAST(pair_count AS BIGINT) AS pair_count
+FROM r WHERE rnk <= {BPE_TOPK} ORDER BY rnk
+"""
+
+
+def classify(docs: DataFrame) -> DataFrame:
+    """Hashed linear quality classifier (fasttext-style): each word maps
+    to a feature bucket via the rolling polynomial hash (the
+    tx_fingerprint hash mod CLS_DIM), each bucket carries a fixed
+    pseudo-random weight in [-1, 1] derived from the multiplicative
+    hash, and the document score is the mean bucket weight over its
+    words. Stands in for a real fasttext/logreg quality model with the
+    weight table swapped in; the plan shape — pure codegen fold, zero
+    shuffle, no Python — is the production one.
+
+    Determinism across engines: both Spark's aggregate and DuckDB's
+    list_reduce fold left in array order, so the double summation is
+    performed in the identical sequence and the scores are
+    bit-identical."""
+    words = F.split(F.col("text"), " ")
+
+    def word_hash(w):
+        return (
+            F.aggregate(
+                F.split(w, ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+            )
+            % CLS_DIM
+        )
+
+    def weight(b):
+        return ((b * SAMPLE_A) % SAMPLE_MOD % 2001 - 1000).cast("double") / 1000.0
+
+    score = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + weight(word_hash(w))
+    ) / F.size(words)
+    return docs.select(
+        "doc_id", score.alias("ml_score"), (score > 0).alias("ml_keep")
+    )
+
+
+def tx_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classify(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+_WH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(w,''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a,x) -> (a*{FP_BASE}+x) % {FP_MOD}) % {CLS_DIM}"
+)
+ORACLE_TX_CLASSIFY = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(string_split(text,' '),
+             w -> CAST(({_WH_SQL}) * {SAMPLE_A} % {SAMPLE_MOD} % 2001 - 1000 AS DOUBLE) / 1000.0)),
+         (acc, x) -> acc + x) / len(string_split(text,' ')) AS ml_score,
+       list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(string_split(text,' '),
+             w -> CAST(({_WH_SQL}) * {SAMPLE_A} % {SAMPLE_MOD} % 2001 - 1000 AS DOUBLE) / 1000.0)),
+         (acc, x) -> acc + x) / len(string_split(text,' ')) > 0 AS ml_keep
+FROM documents ORDER BY doc_id
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style intra-document repetition signals over docs(doc_id,
     text): n_words, n_distinct_words, and the duplicate fraction of
@@ -640,6 +845,13 @@ _TX_CELLS = {
         None, ["stage"],
         [("n_first_fail", "n"), ("n_remaining_after", "n")],
     ),
+    "tx_vocab": (
+        None, ["rnk"],
+        [("word", "s"), ("cnt", "n"), ("n_docs", "n"), ("frac", "n"),
+         ("cum_coverage", "n")],
+    ),
+    "tx_bpe": (None, ["rnk"], [("pair", "s"), ("pair_count", "n")]),
+    "tx_classify": (None, ["doc_id"], [("ml_score", "n"), ("ml_keep", "s")]),
 }
 
 
@@ -670,6 +882,9 @@ QUERIES = {
     "tx_pack": tx_pack,
     "tx_redact": tx_redact,
     "tx_funnel": tx_funnel,
+    "tx_vocab": tx_vocab,
+    "tx_bpe": tx_bpe,
+    "tx_classify": tx_classify,
 }
 
 ORACLES = {
@@ -684,6 +899,9 @@ ORACLES = {
     "tx_pack": ORACLE_TX_PACK,
     "tx_redact": ORACLE_TX_REDACT,
     "tx_funnel": ORACLE_TX_FUNNEL,
+    "tx_vocab": ORACLE_TX_VOCAB,
+    "tx_bpe": ORACLE_TX_BPE,
+    "tx_classify": ORACLE_TX_CLASSIFY,
 }
 
 

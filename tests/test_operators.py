@@ -1094,3 +1094,94 @@ def test_funnel_first_fail_precedence(spark, sf001):
         assert rows[stage]["n_remaining_after"] == remaining
     assert rows["4_kept"]["n_first_fail"] == remaining
     assert rows["4_kept"]["n_remaining_after"] == remaining
+
+
+def test_global_topk_matches_naive_rank(spark):
+    """global_topk's two-phase rank must equal the single-window global
+    rank on a frame with ties (tie-break by word makes the order total)
+    — including when k exceeds the input size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.textstats import global_topk
+
+    rows = [(f"w{i:02d}", (i * 7) % 5 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "word string, cnt long")
+    order = [F.desc("cnt"), F.asc("word")]
+    naive = (
+        df.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+        .filter("rnk <= 10")
+        .select("rnk", "word", "cnt")
+    )
+    fast = global_topk(df, order, 10).select("rnk", "word", "cnt")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+    # k larger than the input: every row survives, ranks stay dense
+    allk = global_topk(df, order, 1000).select("rnk").collect()
+    assert sorted(r["rnk"] for r in allk) == list(range(1, 41))
+
+
+def test_vocab_coverage_telescopes(spark, sf001):
+    """Zipf table invariants: frac sums to cum_coverage at every rank,
+    counts are non-increasing in rank, and n_docs <= cnt."""
+    from kgforge.operators.textstats import tx_vocab
+
+    rows = tx_vocab(spark, sf001).collect()
+    assert rows, "empty vocabulary"
+    cum = 0.0
+    prev = None
+    for r in rows:
+        cum += r["frac"]
+        assert abs(cum - r["cum_coverage"]) < 1e-12
+        assert r["n_docs"] <= r["cnt"]
+        if prev is not None:
+            assert r["cnt"] <= prev
+        prev = r["cnt"]
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    """BPE pair counting enumerates the DISTINCT vocabulary weighted by
+    word count: 'ab' appearing in a word seen 3 times contributes 3;
+    repeated pairs inside one word count with multiplicity ('aaa' has
+    two 'aa' pairs)."""
+    from kgforge.operators.textstats import tx_bpe
+    from kgforge.sources import read_table  # noqa: F401 (parallel import path)
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab aaa", "en", "src0", 9), (1, "ab xy", "en", "src1", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import kgforge.operators.textstats as tx
+
+    orig = tx.read_table
+    tx.read_table = lambda _s, _t, _d: docs
+    try:
+        got = {r["pair"]: r["pair_count"] for r in tx_bpe(spark, "ignored").collect()}
+    finally:
+        tx.read_table = orig
+    assert got["ab"] == 3  # 'ab' word count 3, one pair each
+    assert got["aa"] == 2  # two overlapping pairs inside one 'aaa'
+    assert got["xy"] == 1
+
+
+def test_scd2_versions_chain_and_single_current(spark, sf001):
+    """SCD2 invariants per (user_id, event_type): versions are dense
+    from 1, valid_to of version v equals valid_from of v+1, and exactly
+    one version is current (the max one, open-ended)."""
+    from collections import defaultdict
+
+    from kgforge.operators.relational import q_scd2
+
+    hist = defaultdict(list)
+    for r in q_scd2(spark, sf001).collect():
+        hist[(r["user_id"], r["event_type"])].append(r)
+    assert hist, "empty scd2 output"
+    multi = 0
+    for key, rows in hist.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert not a["is_current"]
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        multi += len(rows) > 1
+    assert multi > 0, "no key ever changed — vacuous history"

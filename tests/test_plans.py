@@ -179,3 +179,43 @@ def test_redact_is_zero_shuffle_codegen(spark, sf001):
     assert "Exchange" not in plan  # ordered limit folds to TakeOrdered
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Batched: true" in plan
+
+
+def test_global_topk_prunes_map_side(spark, sf001):
+    """tx_vocab / tx_bpe rank through global_topk: Spark does NOT infer
+    WindowGroupLimit for unpartitioned rank windows (verified — the
+    single-window form funnels the whole vocabulary through one
+    reducer), so the two-phase plan must show (a) the bucket-partitioned
+    phase with its map-side WindowGroupLimit pre-prune and (b) the
+    bucket exchange; and stay JVM-side throughout."""
+    from kgforge.operators.textstats import tx_bpe, tx_vocab
+
+    for q in (tx_vocab, tx_bpe):
+        plan = plan_of(q(spark, sf001))
+        assert "WindowGroupLimit" in plan
+        assert "hashpartitioning(_tkb" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_classify_is_zero_shuffle_codegen(spark, sf001):
+    """The hashed linear classifier is a pure per-row fold: no exchange,
+    no Python eval, whole-stage codegen over the scan."""
+    from kgforge.operators.textstats import tx_classify
+
+    plan = plan_of(tx_classify(spark, sf001).limit(10))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Batched: true" in plan
+
+
+def test_scd2_single_window_exchange_on_key(spark, sf001):
+    """SCD2 computes lead + row_number in ONE window pass: exactly one
+    exchange, hash-partitioned on the (user_id, event_type) key — never
+    a global window."""
+    from kgforge.operators.relational import q_scd2
+
+    plan = plan_of(q_scd2(spark, sf001).limit(10))
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
