@@ -47,7 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     out.update(pipeline.QUERIES)  # kg_* flagship (incl. measurements/qualifiers)
     out.update(streaming.QUERIES)
-    out.update(dedup.QUERIES)
+    for name in dedup.DRIVER_QUERIES:  # dd_exact/passage/url/bloom melt into dd_stats
+        out[name] = dedup.QUERIES[name]
     out.update(similarity.QUERIES)
     for name in textstats.DRIVER_QUERIES:  # standalones melt into tx_stats
         out[name] = textstats.QUERIES[name]

@@ -144,6 +144,7 @@ def incremental_update(
     langs: tuple[str, ...] | None = ("en",),
     threshold: float = NEAR_DUP_THRESHOLD,
     auto_compact_after: int | None = 8,
+    bloom_prefilter: bool = True,
 ) -> dict:
     # canonical mapping = base stage PLUS every prior increment's mapping,
     # so a batch can anchor to pages introduced by earlier batches (their
@@ -193,6 +194,21 @@ def incremental_update(
     new_sigs = C.minhash_signatures(ext, "text", "url").localCheckpoint(eager=True)
     new_blocks = C.lsh_blocks(new_sigs, id_col="url")
     base_blocks = C.lsh_blocks(base_sigs, id_col="url")
+    if bloom_prefilter:
+        # Constant-size prefilter for the base side of the block join:
+        # a Bloom bitmap over the BATCH's band keys (the small side)
+        # drops base blocks whose key definitely has no partner, before
+        # the base-side groupBy shuffle — at corpus scale the base
+        # block table dwarfs the batch's, and most of its keys have no
+        # match. Exactly output-preserving: _capped_block_join is inner
+        # on bk on both the sizes and pairs paths, the per-bk prune
+        # keeps surviving blocks whole (the probe key IS bk), and false
+        # positives merely ride through to the join that was already
+        # going to discard them (pytest asserts run parity on/off).
+        from kgforge.operators import bloom as B
+
+        nb_bloom = B.bloom_build(new_blocks.select("bk"), B.h64_xx(F.col("bk")))
+        base_blocks = B.bloom_prune(base_blocks, B.h64_xx(F.col("bk")), nb_bloom)
     nb_pairs, nb_dropped = _capped_block_join(
         new_blocks, base_blocks, C.MAX_LSH_BLOCK
     )

@@ -586,6 +586,151 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
 
 
+DD_BLOOM_WORDS = 64  # deliberately small at test scale so FALSE POSITIVES
+DD_BLOOM_K = 3       # actually occur and the oracle verifies them too
+
+
+def dd_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch exact dedup behind a Bloom prefilter: the base
+    corpus's content hashes build a blocked Bloom bitmap
+    (kgforge.operators.bloom); a synthetic new batch — the doc_id%10==0
+    exact clones plus doc_id%10==7 genuinely-new texts — probes it, and
+    only bloom-passing rows reach the exact md5 verification join.
+
+    Output one row per new doc: (new_id, bloom_pass, dup_of). The
+    oracle recomputes the FILTER ITSELF (same 60-bit md5 hash, same
+    word/mask arithmetic — validated bit-identical across engines), so
+    the driver hash verifies bloom semantics including which non-dups
+    false-positive through, not just the final dedup. Invariant (pytest
+    + construction): dup_of non-null ⇒ bloom_pass — a Bloom filter has
+    no false negatives.
+
+    The bitmap here is 64 words so the filter is saturated enough to
+    produce real FPs at 500-5000 docs; production sizing is the module
+    default (1 Mbit per ~100k keys ≈ 1% FP), and the bitmap stays
+    constant-size however large the base corpus grows — the property
+    that makes it broadcastable where a semi-join key set is not."""
+    from kgforge.operators import bloom as B
+
+    base = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    newb = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("new_id"), "text")
+        .unionByName(
+            base.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 200000).alias("new_id"),
+                F.concat(F.col("text"), F.lit(" batchtag")).alias("text"),
+            )
+        )
+    )
+    bloom = B.bloom_build(
+        base.select("text"), B.h60_md5(F.col("text")), DD_BLOOM_WORDS, DD_BLOOM_K
+    )
+    probed = B.bloom_probe(
+        newb, B.h60_md5(F.col("text")), bloom, DD_BLOOM_WORDS, DD_BLOOM_K
+    )
+    cand = probed.filter(F.col("bloom_pass")).select(
+        "new_id", F.md5("text").alias("m")
+    )
+    dups = (
+        cand.join(base.select(F.md5("text").alias("m"), "doc_id"), "m")
+        .groupBy("new_id")
+        .agg(F.min("doc_id").cast("long").alias("dup_of"))
+    )
+    return (
+        probed.select("new_id", "bloom_pass")
+        .join(dups, "new_id", "left")
+        .select("new_id", "bloom_pass", "dup_of")
+        .orderBy("new_id")
+    )
+
+
+_H60_SQL = (
+    "list_sum(list_transform(range(1,16), "
+    "p -> (strpos('0123456789abcdef', substr(md5(text), p, 1)) - 1)::BIGINT"
+    " << (4*(15-p))))::BIGINT"
+)
+# bit positions % 63: DuckDB raises on 1::BIGINT << 63 (see bloom.py)
+_MASK_SQL = " | ".join(
+    f"(1::BIGINT << (((h >> {6 * j}) & 63) % 63))" for j in range(1, DD_BLOOM_K + 1)
+)
+
+ORACLE_DD_BLOOM = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+newb AS (
+  SELECT doc_id + 100000 AS new_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' batchtag' FROM documents WHERE doc_id % 10 = 7
+),
+bh AS (SELECT doc_id, md5(text) AS m, {_H60_SQL} AS h FROM base),
+bloom AS (
+  SELECT h % {DD_BLOOM_WORDS} AS word_idx, bit_or({_MASK_SQL}) AS bits
+  FROM bh GROUP BY h % {DD_BLOOM_WORDS}
+),
+nh AS (SELECT new_id, md5(text) AS m, {_H60_SQL} AS h FROM newb),
+pass AS (
+  SELECT new_id, m,
+         COALESCE((bits & ({_MASK_SQL})) = ({_MASK_SQL}), FALSE) AS bloom_pass
+  FROM nh LEFT JOIN bloom ON nh.h % {DD_BLOOM_WORDS} = bloom.word_idx
+),
+dups AS (
+  SELECT p.new_id, CAST(MIN(bh.doc_id) AS BIGINT) AS dup_of
+  FROM pass p JOIN bh ON p.m = bh.m
+  WHERE p.bloom_pass GROUP BY p.new_id
+)
+SELECT pass.new_id, pass.bloom_pass, dups.dup_of
+FROM pass LEFT JOIN dups ON pass.new_id = dups.new_id
+ORDER BY pass.new_id
+"""
+
+
+# ---- driver-facing compound ------------------------------------------
+# dd_exact / dd_passage / dd_url / dd_bloom melt into ONE registered
+# query (dd_stats) via the same machinery as the rel_*/tx_* compounds —
+# every cell of every standalone result is still value-hash-compared
+# against the identically-melted DuckDB oracle. This freed two driver
+# registry slots (the cap is ~50 recorded rows) while ADDING dd_bloom.
+
+_DD_CELLS = {
+    "dd_exact": (
+        None, ["text_md5"], [("keeper_doc_id", "n"), ("n_copies", "n")]
+    ),
+    "dd_passage": (
+        None, ["phash"], [("n_docs", "n"), ("n_occ", "n"), ("first_doc", "n")]
+    ),
+    "dd_url": (
+        None, ["canonical_url"],
+        [("n_variants", "n"), ("n_rows", "n"), ("first_doc", "n")],
+    ),
+    "dd_bloom": (None, ["new_id"], [("bloom_pass", "s"), ("dup_of", "n")]),
+}
+
+
+def dd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound exact-dedup bundle: content-hash dedup, sub-document
+    passage dedup, crawl-frontier URL canonicalization, and the
+    Bloom-prefiltered incremental batch dedup — the standalone dd_*
+    queries melted into one oracle-checked frame."""
+    from kgforge.operators.relational import _compound
+
+    specs = [
+        (sec, QUERIES[sec], flt, keys, cells)
+        for sec, (flt, keys, cells) in _DD_CELLS.items()
+    ]
+    return _compound(spark, sf_dir, specs)
+
+
+def _dd_compound_sql() -> str:
+    from kgforge.operators.relational import _compound_sql
+
+    return _compound_sql(
+        [
+            (sec, ORACLES[sec], flt, keys, cells)
+            for sec, (flt, keys, cells) in _DD_CELLS.items()
+        ]
+    )
+
+
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -594,6 +739,7 @@ QUERIES = {
     "dd_simhash_verify": dd_simhash_verify,
     "dd_passage": dd_passage,
     "dd_url": dd_url,
+    "dd_bloom": dd_bloom,
 }
 
 ORACLES = {
@@ -606,4 +752,19 @@ ORACLES = {
     "dd_simhash_verify": ORACLE_DD_SIMHASH_VERIFY,
     "dd_passage": ORACLE_DD_PASSAGE,
     "dd_url": ORACLE_DD_URL,
+    "dd_bloom": ORACLE_DD_BLOOM,
 }
+
+QUERIES["dd_stats"] = dd_stats
+ORACLES["dd_stats"] = _dd_compound_sql()
+
+# the names __spark_entry__ registers (dd_exact / dd_passage / dd_url /
+# dd_bloom melt into dd_stats; the standalones remain here for bench,
+# tools/verify_local.py --all-rel and pytest)
+DRIVER_QUERIES = [
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "dd_simhash_verify",
+    "dd_stats",
+]

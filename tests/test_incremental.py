@@ -418,3 +418,47 @@ def test_orphaned_sidecar_rows_do_not_inflate_metrics(
         == mapping["https://crash.example.com/y"]
         == "https://crash.example.com/x"
     )
+
+
+def test_bloom_prefilter_is_output_preserving(
+    spark, fixture_dir, base_run, tmp_path_factory
+):
+    """The base-side Bloom prune in front of the new-vs-base block join
+    must be invisible in every output AND every metric: bloom on/off
+    runs of the identical batch produce the same mapping rows, the same
+    edge counts, and the same cap metrics (a pruned block that mattered
+    would shift n_new_base_edges; a miscounted cap would shift
+    n_capped_blocks)."""
+    import datetime as dt
+    import shutil
+
+    rows = [
+        _mk_page("https://bl.example.com/p1", dt.datetime(2024, 7, 1),
+                 "spark joins shuffle partitions broadcast window merge sort filter query plan"),
+        _mk_page("https://bl.example.com/p2", dt.datetime(2024, 7, 2),
+                 "spark joins shuffle partitions broadcast window merge sort filter query plan"),
+        _mk_page("https://bl.example.com/solo", dt.datetime(2024, 7, 3),
+                 "entirely different words about bloom filters pruning base blocks before the shuffle"),
+    ]
+    p = str(tmp_path_factory.mktemp("bloom_batch") / "pages.parquet")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(p)
+    infos, mappings = {}, {}
+    for flag in (True, False):
+        out = str(tmp_path_factory.mktemp(f"bloom_out_{flag}") / "run")
+        shutil.copytree(base_run, out)
+        infos[flag] = incremental_update(
+            spark, out, p, f"{fixture_dir}/concept_dict.parquet",
+            bloom_prefilter=flag,
+        )
+        mappings[flag] = sorted(
+            map(tuple, spark.read.parquet(
+                f"{out}/increments/{infos[flag]['batch']}/mapping"
+            ).collect())
+        )
+    assert mappings[True] == mappings[False]
+    for key in ("n_new_pages", "n_new_base_edges", "n_new_new_edges",
+                "n_capped_blocks", "deferred_base_merges"):
+        if key in infos[True] or key in infos[False]:
+            assert infos[True].get(key) == infos[False].get(key), key

@@ -1185,3 +1185,70 @@ def test_scd2_versions_chain_and_single_current(spark, sf001):
         assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
         multi += len(rows) > 1
     assert multi > 0, "no key ever changed — vacuous history"
+
+
+def test_bloom_no_false_negatives_and_true_rejections(spark):
+    """Bloom contract: every built key passes the probe (no false
+    negatives, ever); every rejected probe is genuinely absent; and at
+    this deliberately tiny bitmap some absent keys DO false-positive
+    (the saturation regime dd_bloom pins), while a production-sized
+    bitmap rejects nearly everything absent."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators import bloom as B
+
+    members = spark.range(0, 200).select(F.concat(F.lit("key"), "id").alias("k"))
+    probes = spark.range(0, 400).select(F.concat(F.lit("key"), "id").alias("k"))
+    small = B.bloom_build(members, B.h60_md5(F.col("k")), n_words=8)
+    got = {
+        r["k"]: r["bloom_pass"]
+        for r in B.bloom_probe(probes, B.h60_md5(F.col("k")), small, n_words=8).collect()
+    }
+    assert all(got[f"key{i}"] for i in range(200)), "false negative"
+    rejected = [i for i in range(200, 400) if not got[f"key{i}"]]
+    fps = [i for i in range(200, 400) if got[f"key{i}"]]
+    assert rejected and fps, "tiny bitmap should both reject and false-positive"
+    big = B.bloom_build(members, B.h60_md5(F.col("k")))  # default 1 Mbit
+    got_big = {
+        r["k"]: r["bloom_pass"]
+        for r in B.bloom_probe(probes, B.h60_md5(F.col("k")), big).collect()
+    }
+    assert all(got_big[f"key{i}"] for i in range(200))
+    assert sum(got_big[f"key{i}"] for i in range(200, 400)) <= 2, "FP rate blown"
+
+
+def test_bloom_prune_keeps_schema_and_members(spark):
+    """bloom_prune returns the input schema unchanged and never drops a
+    row whose key was built into the bloom (h64_xx fast path)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators import bloom as B
+
+    df = spark.range(0, 100).select(F.col("id").alias("bk"), (F.col("id") * 2).alias("v"))
+    keys = df.filter("bk % 3 = 0")
+    bl = B.bloom_build(keys.select("bk"), B.h64_xx(F.col("bk")), n_words=32)
+    pruned = B.bloom_prune(df, B.h64_xx(F.col("bk")), bl, n_words=32)
+    assert pruned.columns == ["bk", "v"]
+    kept = {r["bk"] for r in pruned.collect()}
+    assert {r["bk"] for r in keys.collect()} <= kept
+    assert len(kept) < 100, "vacuous prune — nothing was filtered"
+
+
+def test_dd_bloom_dup_implies_pass(spark, sf001):
+    """dd_bloom invariants: every exact duplicate passed the bloom (no
+    false negatives), dup_of points at the cloned base doc, and both
+    the false-positive and definite-absent branches are populated."""
+    from kgforge.operators.dedup import dd_bloom
+
+    rows = dd_bloom(spark, sf001).collect()
+    assert rows
+    fps = rejects = 0
+    for r in rows:
+        if r["dup_of"] is not None:
+            assert r["bloom_pass"], "duplicate rejected by bloom — false negative"
+            assert r["new_id"] == r["dup_of"] + 100000
+        elif r["bloom_pass"]:
+            fps += 1
+        else:
+            rejects += 1
+    assert fps > 0 and rejects > 0, "a bloom branch is vacuous at this sf"

@@ -219,3 +219,20 @@ def test_scd2_single_window_exchange_on_key(spark, sf001):
     assert "hashpartitioning(user_id" in plan
     assert "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_broadcasts_and_never_shuffles_probe_side(spark):
+    """The bloom membership test must be a broadcast join on the word
+    index — probing may not shuffle the probed side — and build/probe
+    stay JVM-side."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators import bloom as B
+
+    big = spark.range(0, 1000).select(F.concat(F.lit("k"), "id").alias("k"))
+    bl = B.bloom_build(big.limit(100), B.h60_md5(F.col("k")))
+    plan = plan_of(B.bloom_probe(big, B.h60_md5(F.col("k")), bl))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
