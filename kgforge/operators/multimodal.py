@@ -7,11 +7,13 @@ SOF0/2 dimensions from raw header bytes in pure Python (no codec
 library needed — these are fixed-offset big/little-endian fields), and
 the driver queries run it over genuine in-format payloads built by
 `build_image` (valid magic numbers, CRC'd PNG IHDR, well-formed JPEG
-marker segments). Only PIXEL work (resampling, frame decode, model
-inference) remains faked, because actual codecs/models are not in this
-container; the Spark-side shape of those steps — mapInPandas batch
-iterators, explicit StructTypes, bounded per-task memory — is real and
-tested.
+marker segments). Audio is real too: `build_wav`/`parse_wav_header`
+write and chunk-walk genuine RIFF/WAVE PCM files (fmt fields, data
+sizing, odd-chunk padding). Only PIXEL/SAMPLE work (resampling, frame
+decode, model inference) remains faked, because actual codecs/models
+are not in this container; the Spark-side shape of those steps —
+mapInPandas batch iterators, explicit StructTypes, bounded per-task
+memory — is real and tested.
 """
 
 from __future__ import annotations
@@ -415,15 +417,170 @@ FROM cs ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio: WAV/RIFF — the third modality, same discipline as images: the
+# container format is genuinely built and genuinely parsed (RIFF chunk
+# walk, little-endian PCM fmt fields); only sample DECODE would need a
+# codec, and WAV PCM needs none for metadata.
+# ---------------------------------------------------------------------------
+
+WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def build_wav(
+    sample_rate: int, n_channels: int, bits: int, n_samples: int
+) -> bytes:
+    """A genuine PCM WAV file: RIFF header, canonical 16-byte fmt chunk,
+    data chunk sized n_samples * block_align (silence payload — header
+    parsers never read samples)."""
+    block_align = n_channels * bits // 8
+    data_len = n_samples * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_len)
+        + bytes(data_len)
+    )
+
+
+def parse_wav_header(b: bytes | None) -> tuple[int, int, int, int] | None:
+    """Pure-Python WAV metadata: walk RIFF chunks (any order, as the
+    spec allows — LIST/INFO chunks before data are common in the wild)
+    and return (sample_rate, n_channels, bits, n_samples), or None for
+    non-WAV payloads. Odd-sized chunks consume a pad byte per RIFF."""
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    n_samples = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and size >= 16 and i + 8 + 16 <= len(b):
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data" and channels and bits:
+            n_samples = size // (channels * bits // 8)
+        i += 8 + size + (size & 1)
+    if rate is None or n_samples is None:
+        return None
+    return rate, channels, bits, n_samples
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+    ]
+)
+
+
+def mm_audio_synth(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic real-WAV synthesis: rate round-robins WAV_RATES by
+    doc_id, channels alternate mono/stereo, 16-bit PCM, sample count
+    derives from the utf-8 text length."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                n = len(txt.encode("utf-8")) if txt is not None else 0
+                payloads.append(
+                    build_wav(
+                        WAV_RATES[int(did) % 4], 1 + int(did) % 2, 16, 100 + n % 1000
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def mm_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real audio metadata extraction over binary batches; duration is
+    exact integer math (n_samples * 1000 // rate) so the oracle can
+    reproduce it without float drift."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                rows["doc_id"].append(did)
+                m = parse_wav_header(b)
+                if m is None:
+                    for k in ("sample_rate", "n_channels", "bits", "n_samples", "duration_ms"):
+                        rows[k].append(None)
+                else:
+                    rate, ch, bits, ns = m
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(ch)
+                    rows["bits"].append(bits)
+                    rows["n_samples"].append(ns)
+                    rows["duration_ms"].append(ns * 1000 // rate)
+                rows["byte_len"].append(len(b) if b is not None else None)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audio pipeline: synthesize genuine PCM WAV files
+    from documents.text, parse the RIFF/fmt/data chunks back, and emit
+    rate/channels/duration — the oracle recomputes every field
+    arithmetically, so a wrong chunk offset or endianness breaks the
+    hash (same discipline as mm_meta)."""
+    d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return mm_audio_meta(mm_audio_synth(d)).orderBy("doc_id")
+
+
+ORACLE_MM_AUDIO = """
+WITH a AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+         CAST(1 + doc_id % 2 AS INT) AS n_channels,
+         100 + length(text) % 1000 AS n_samples
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sample_rate AS INT) AS sample_rate,
+       n_channels,
+       CAST(16 AS INT) AS bits,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST(44 + n_samples * n_channels * 2 AS BIGINT) AS byte_len
+FROM a ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_meta": mm_meta,
     "mm_resize": mm_resize,
     "mm_frames": mm_frames,
     "mm_embed": mm_embed,
+    "mm_audio": mm_audio,
 }
 ORACLES = {
     "mm_meta": ORACLE_MM_META,
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_frames": ORACLE_MM_FRAMES,
     "mm_embed": ORACLE_MM_EMBED,
+    "mm_audio": ORACLE_MM_AUDIO,
 }

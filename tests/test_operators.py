@@ -1252,3 +1252,26 @@ def test_dd_bloom_dup_implies_pass(spark, sf001):
         else:
             rejects += 1
     assert fps > 0 and rejects > 0, "a bloom branch is vacuous at this sf"
+
+
+def test_wav_parser_roundtrip_and_chunk_walk():
+    """parse_wav_header must recover exactly what build_wav encoded, and
+    must chunk-WALK rather than assume fixed offsets: a LIST chunk
+    (odd-sized, exercising RIFF pad-byte handling) inserted before fmt
+    and data still parses; truncated and non-WAV payloads return None."""
+    import struct
+
+    from kgforge.operators.multimodal import build_wav, parse_wav_header
+
+    for rate, ch, ns in [(8000, 1, 100), (44100, 2, 999), (22050, 1, 1)]:
+        b = build_wav(rate, ch, 16, ns)
+        assert parse_wav_header(b) == (rate, ch, 16, ns)
+        assert len(b) == 44 + ns * ch * 2
+    base = build_wav(16000, 2, 16, 50)
+    # splice an odd-sized LIST chunk between 'WAVE' and 'fmt '
+    odd = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = base[:12] + odd + base[12:]
+    assert parse_wav_header(spliced) == (16000, 2, 16, 50)
+    assert parse_wav_header(b"RIFF1234WAVE") is None  # no chunks at all
+    assert parse_wav_header(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_wav_header(None) is None
