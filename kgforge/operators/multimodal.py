@@ -9,11 +9,14 @@ the driver queries run it over genuine in-format payloads built by
 `build_image` (valid magic numbers, CRC'd PNG IHDR, well-formed JPEG
 marker segments). Audio is real too: `build_wav`/`parse_wav_header`
 write and chunk-walk genuine RIFF/WAVE PCM files (fmt fields, data
-sizing, odd-chunk padding). Only PIXEL/SAMPLE work (resampling, frame
-decode, model inference) remains faked, because actual codecs/models
-are not in this container; the Spark-side shape of those steps —
-mapInPandas batch iterators, explicit StructTypes, bounded per-task
-memory — is real and tested.
+sizing, odd-chunk padding). And video: `build_mp4`/`parse_mp4_header`
+write and recursively box-walk genuine ISO-BMFF trees (tkhd 16.16
+dimensions, stts/stsz/stco sample tables), so frame sampling derives
+byte offsets from the container's own index. Only PIXEL/SAMPLE work
+(resampling, frame decode, model inference) remains faked, because
+actual codecs/models are not in this container; the Spark-side shape of
+those steps — mapInPandas batch iterators, explicit StructTypes,
+bounded per-task memory — is real and tested.
 """
 
 from __future__ import annotations
@@ -310,21 +313,257 @@ FROM dims ORDER BY doc_id
 """
 
 
-def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing for 'video' payloads: a fake stream of
-    n_frames = 1 + byte_len % 97 frames, sampled at a stride that keeps
-    <= 8 frames per doc, exploded to one row per sampled frame with its
-    byte offset — the exact shape a real ffmpeg-backed sampler emits.
-    Pure column arithmetic (sequence + explode), no UDF needed."""
-    d = read_table(spark, "documents", sf_dir).select(
-        "doc_id", F.length(F.encode("text", "UTF-8")).alias("byte_len")
+# ---------------------------------------------------------------------------
+# Video: MP4 / ISO-BMFF — same discipline as images and WAV. `build_mp4`
+# writes a genuine box tree (ftyp, moov{mvhd, trak{tkhd, mdia{mdhd, hdlr,
+# minf{vmhd, dinf{dref}, stbl{stsd/avc1, stts, stsc, stsz, stco}}}}},
+# mdat with the declared sample bytes) and `parse_mp4_header` walks it
+# back in pure Python: width/height from tkhd's 16.16 fixed-point
+# fields, frame count from the stts run-length table, frame duration /
+# timescale from stts+mdhd, the uniform sample size from stsz, and the
+# chunk base offset from stco — so frame byte offsets are derived from
+# the container's own index, not assumed. Only frame DECODE (the avcC
+# bitstream) is absent, as with the other modalities.
+# ---------------------------------------------------------------------------
+
+# (timescale, frame_duration): 23.976 / 29.97 / 25 / 59.94 fps
+MP4_FPS = ((24000, 1001), (30000, 1001), (25, 1), (60000, 1001))
+MP4_SAMPLE_SIZE = 64
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _full(tag: bytes, payload: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+_UNITY_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def build_mp4(
+    w: int, h: int, n_frames: int, timescale: int, frame_dur: int
+) -> bytes:
+    """A genuine ISO-BMFF file: every box has a correct big-endian size,
+    the sample tables are consistent (stts run = n_frames x frame_dur,
+    uniform stsz, one stco chunk pointing at the mdat payload), and the
+    mdat actually contains n_frames * MP4_SAMPLE_SIZE bytes. The avc1
+    sample entry carries no avcC config record (no encoder in this
+    container), which header parsers do not need."""
+    duration = n_frames * frame_dur
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iHH8x", 0x10000, 0x0100, 0)
+        + _UNITY_MATRIX
+        + bytes(24)
+        + struct.pack(">I", 2),
     )
-    f = d.select(
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">III4xI8x", 0, 0, 1, duration)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+        flags=3,
+    )
+    mdhd = _full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = _full(b"hdlr", struct.pack(">4x4s12x", b"vide") + b"VideoHandler\x00")
+    vmhd = _full(b"vmhd", struct.pack(">H6x", 0), flags=1)
+    dref = _full(b"dref", struct.pack(">I", 1) + _full(b"url ", b"", flags=1))
+    avc1 = _box(
+        b"avc1",
+        struct.pack(">6xH", 1)  # reserved + data_reference_index
+        + struct.pack(">HH12x", 0, 0)
+        + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + bytes(32)  # compressorname (pascal string, zero)
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _full(b"stsd", struct.pack(">I", 1) + avc1)
+    stts = _full(b"stts", struct.pack(">III", 1, n_frames, frame_dur))
+    stsc = _full(b"stsc", struct.pack(">I", 0))
+    stsz = _full(b"stsz", struct.pack(">II", MP4_SAMPLE_SIZE, n_frames))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    # stco needs the mdat payload offset, which depends on moov's own
+    # size — stco's size is fixed (one 32-bit entry), so compute once.
+    def moov_with(chunk_off: int) -> bytes:
+        stco = _full(b"stco", struct.pack(">II", 1, chunk_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+    probe = moov_with(0)
+    moov = moov_with(len(ftyp) + len(probe) + 8)  # +8 = mdat header
+    return ftyp + moov + _box(b"mdat", bytes(n_frames * MP4_SAMPLE_SIZE))
+
+
+# mdat payload offset is a pure function of the fixed box layout above
+# (every box except mdat has a constant size), so the SQL oracle can use
+# it as a literal; derived from the builder itself, and pytest asserts
+# the PARSER recovers the same value from stco.
+MP4_DATA_OFFSET = len(build_mp4(64, 64, 1, 25, 1)) - MP4_SAMPLE_SIZE
+
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        tag = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield tag, i + hdr, i + size
+        i += size
+
+
+def parse_mp4_header(
+    b: bytes | None,
+) -> tuple[int, int, int, int, int, int, int] | None:
+    """Pure-Python ISO-BMFF metadata: recursive box walk (64-bit and
+    to-end-of-file sizes handled, unknown boxes skipped by size) pulling
+    (width, height, n_frames, timescale, duration, sample_size,
+    data_off). Returns None for non-MP4 payloads or truncated trees."""
+    if not b or len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    w = h = n_frames = timescale = duration = sample_size = data_off = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, n_frames, timescale, duration, sample_size, data_off
+        for tag, s, e in _mp4_boxes(b, start, end):
+            if tag in _MP4_CONTAINERS:
+                walk(s, e)
+            elif tag == b"mvhd" and e - s >= 20:
+                ver = b[s]
+                if ver == 0:
+                    timescale = int.from_bytes(b[s + 12 : s + 16], "big")
+                    duration = int.from_bytes(b[s + 16 : s + 20], "big")
+                elif e - s >= 32:
+                    timescale = int.from_bytes(b[s + 20 : s + 24], "big")
+                    duration = int.from_bytes(b[s + 24 : s + 32], "big")
+            elif tag == b"tkhd" and e - s >= 8:
+                w = int.from_bytes(b[e - 8 : e - 4], "big") >> 16
+                h = int.from_bytes(b[e - 4 : e], "big") >> 16
+            elif tag == b"stts" and e - s >= 8:
+                n_entries = int.from_bytes(b[s + 4 : s + 8], "big")
+                total = 0
+                for k in range(n_entries):
+                    o = s + 8 + 8 * k
+                    if o + 8 > e:
+                        return
+                    total += int.from_bytes(b[o : o + 4], "big")
+                n_frames = total
+            elif tag == b"stsz" and e - s >= 12:
+                sample_size = int.from_bytes(b[s + 4 : s + 8], "big")
+            elif tag == b"stco" and e - s >= 12:
+                if int.from_bytes(b[s + 4 : s + 8], "big") >= 1:
+                    data_off = int.from_bytes(b[s + 8 : s + 12], "big")
+
+    walk(0, len(b))
+    if None in (w, h, n_frames, timescale, duration, sample_size, data_off):
+        return None
+    return w, h, n_frames, timescale, duration, sample_size, data_off
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_size", T.IntegerType()),
+        T.StructField("data_off", T.LongType()),
+    ]
+)
+
+
+def mm_video_synth(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic real-MP4 synthesis: fps round-robins MP4_FPS by
+    doc_id, dimensions derive from doc_id, frame count from the utf-8
+    text length (same n_frames law the pre-round-4 fake stream used)."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                n = len(txt.encode("utf-8")) if txt is not None else 0
+                ts, fd = MP4_FPS[int(did) % 4]
+                payloads.append(
+                    build_mp4(
+                        64 + int(did) % 29 * 16,
+                        64 + int(did) % 17 * 16,
+                        1 + n % 97,
+                        ts,
+                        fd,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def mm_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real video-container metadata over binary batches; duration_ms is
+    exact integer math (duration * 1000 // timescale) so the oracle can
+    reproduce it without float drift."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in VIDEO_SCHEMA.fields}
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                rows["doc_id"].append(did)
+                m = parse_mp4_header(b)
+                if m is None:
+                    for k in VIDEO_SCHEMA.fieldNames()[1:]:
+                        rows[k].append(None)
+                else:
+                    w, h, nf, ts, dur, ssz, off = m
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(nf)
+                    rows["duration_ms"].append(dur * 1000 // ts)
+                    rows["sample_size"].append(ssz)
+                    rows["data_off"].append(off)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, VIDEO_SCHEMA)
+
+
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL MP4 containers: synthesize a genuine box
+    tree per document, parse it back (tkhd dims, stts frame count, stsz
+    uniform sample size, stco chunk base), then stride-sample <= 8
+    frames per doc and emit each sampled frame's byte offset *as derived
+    from the container's own sample tables* (stco base + idx * stsz) —
+    the exact shape an ffmpeg-backed sampler emits. The explode stays
+    pure column arithmetic; only container parsing is Arrow-batched."""
+    d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    meta = mm_video_meta(mm_video_synth(d))
+    f = meta.select(
         "doc_id",
-        (1 + F.col("byte_len") % 97).alias("n_frames"),
-    ).select(
-        "doc_id",
+        "width",
+        "height",
         "n_frames",
+        "duration_ms",
+        "sample_size",
+        "data_off",
         F.greatest(F.lit(1), F.floor(F.col("n_frames") / 8).cast("int")).alias(
             "stride"
         ),
@@ -332,27 +571,45 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         f.select(
             "doc_id",
+            "width",
+            "height",
+            "n_frames",
+            "duration_ms",
             F.explode(
                 F.sequence(F.lit(0), F.col("n_frames") - 1, F.col("stride"))
             ).alias("frame_idx"),
+            (F.col("data_off") + F.col("frame_idx").cast("long") * F.col("sample_size")).alias(
+                "frame_off"
+            ),
         )
-        .withColumn("frame_off", F.col("frame_idx").cast("long") * 1024)
         .orderBy("doc_id", "frame_idx")
     )
 
 
-ORACLE_MM_FRAMES = """
+ORACLE_MM_FRAMES = f"""
 WITH v AS (
-  SELECT doc_id, 1 + length(text) % 97 AS n_frames FROM documents
+  SELECT doc_id,
+         CAST(64 + doc_id % 29 * 16 AS INT) AS width,
+         CAST(64 + doc_id % 17 * 16 AS INT) AS height,
+         1 + length(text) % 97 AS n_frames,
+         CASE doc_id % 4 WHEN 0 THEN 24000 WHEN 1 THEN 30000
+                         WHEN 2 THEN 25 ELSE 60000 END AS timescale,
+         CASE doc_id % 4 WHEN 2 THEN 1 ELSE 1001 END AS frame_dur
+  FROM documents
 ),
 s AS (
-  SELECT doc_id, n_frames,
-         greatest(1, CAST(floor(n_frames / 8) AS INT)) AS stride FROM v
+  SELECT *, greatest(1, CAST(floor(n_frames / 8) AS INT)) AS stride,
+         n_frames * frame_dur * 1000 // timescale AS duration_ms
+  FROM v
 )
-SELECT doc_id,
+SELECT doc_id, width, height,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
        CAST(fi AS INT) AS frame_idx,
-       CAST(fi AS BIGINT) * 1024 AS frame_off
-FROM (SELECT doc_id, unnest(range(0, n_frames, stride)) AS fi FROM s)
+       CAST({MP4_DATA_OFFSET} + fi * {MP4_SAMPLE_SIZE} AS BIGINT) AS frame_off
+FROM (SELECT doc_id, width, height, n_frames, duration_ms,
+             unnest(range(0, n_frames, stride)) AS fi
+      FROM s)
 ORDER BY doc_id, frame_idx
 """
 

@@ -1024,6 +1024,81 @@ CROSS JOIN tot t
 ORDER BY a, b
 """
 
+KHOP_K = 3
+KHOP_SEEDS = 3
+
+
+def kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop neighborhood expansion over the entity co-occurrence graph:
+    seed with the KHOP_SEEDS highest-degree entities (hub entities, tie
+    broken by node id so the seed set is deterministic at every sf) and
+    emit every entity reachable within KHOP_K undirected hops with its
+    minimal hop distance — the subgraph-extraction primitive a KG
+    consumer runs to build an entity's context neighborhood. All values
+    are exact integers; the DuckDB oracle recomputes the same BFS as a
+    recursive CTE, so this is the driver-recorded green row for the
+    frontier-at-a-time iteration in kgforge/operators/graph.py (khop),
+    which pytest covers structurally (minimality, early exit). Beyond
+    the reference (no graph analytics there); the iteration idiom is
+    the same localCheckpoint-per-round shape as connected components."""
+    from kgforge.operators import graph as G
+    from kgforge.operators.textstats import global_topk
+
+    c = _candidates(spark, sf_dir)
+    pe = c.filter(F.col("kind") == "entity").select(
+        "url", F.col("canonical_id").alias("entity")
+    )
+    edges = G.cooccurrence_edges(pe, min_jaccard=COOC_MIN_JACCARD)
+    bidir = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = bidir.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    seeds = global_topk(
+        deg, [F.desc("degree"), F.asc("node")], KHOP_SEEDS
+    ).select("node")
+    return (
+        G.khop(bidir, seeds, KHOP_K)
+        .select("node", F.col("dist").cast("int").alias("dist"))
+        .orderBy("node")
+    )
+
+
+ORACLE_KG_KHOP = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS},
+page_entities AS (SELECT DISTINCT url, canonical_id AS entity
+                  FROM mentions JOIN dict USING (surface)),
+eligible AS (SELECT url FROM page_entities GROUP BY url HAVING COUNT(*) <= 64),
+pe AS (SELECT p.url, p.entity FROM page_entities p
+       JOIN eligible e ON e.url = p.url),
+cnt AS (SELECT entity, COUNT(*) AS n_pages FROM pe GROUP BY entity),
+pair AS (
+  SELECT pa.entity AS a, pb.entity AS b, COUNT(*) AS support
+  FROM pe pa JOIN pe pb ON pa.url = pb.url AND pa.entity < pb.entity
+  GROUP BY pa.entity, pb.entity
+),
+edges AS (
+  SELECT a, b FROM pair
+  JOIN cnt ca ON ca.entity = pair.a
+  JOIN cnt cb ON cb.entity = pair.b
+  WHERE CAST(support AS DOUBLE) / (ca.n_pages + cb.n_pages - support) >= {COOC_MIN_JACCARD}
+),
+bidir AS (SELECT a AS src, b AS dst FROM edges
+          UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS degree FROM bidir GROUP BY src),
+seeds AS (SELECT node FROM deg ORDER BY degree DESC, node LIMIT {KHOP_SEEDS}),
+walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN bidir e ON e.src = w.node
+  WHERE w.dist < {KHOP_K}
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM walk GROUP BY node ORDER BY node
+"""
+
 
 QUERIES = {
     "kg_extract": kg_extract,
@@ -1040,6 +1115,7 @@ QUERIES = {
     "kg_report": kg_report,
     "kg_graph": kg_graph,
     "kg_assoc": kg_assoc,
+    "kg_khop": kg_khop,
 }
 
 ORACLES = {
@@ -1057,4 +1133,5 @@ ORACLES = {
     "kg_report": ORACLE_KG_REPORT,
     "kg_graph": ORACLE_KG_GRAPH,
     "kg_assoc": ORACLE_KG_ASSOC,
+    "kg_khop": ORACLE_KG_KHOP,
 }

@@ -1275,3 +1275,40 @@ def test_wav_parser_roundtrip_and_chunk_walk():
     assert parse_wav_header(b"RIFF1234WAVE") is None  # no chunks at all
     assert parse_wav_header(b"\x89PNG\r\n\x1a\n") is None
     assert parse_wav_header(None) is None
+
+
+def test_mp4_parser_roundtrip_and_box_walk():
+    """parse_mp4_header must recover exactly what build_mp4 encoded —
+    dimensions from tkhd's 16.16 fields, frame count from the stts run
+    table, uniform size from stsz, chunk base from stco — and must box-
+    WALK rather than assume fixed offsets: a free box spliced between
+    ftyp and moov shifts everything yet stco still locates the mdat
+    payload; truncated and non-MP4 payloads return None."""
+    import struct
+
+    from kgforge.operators.multimodal import (
+        MP4_DATA_OFFSET,
+        MP4_FPS,
+        MP4_SAMPLE_SIZE,
+        build_mp4,
+        parse_mp4_header,
+    )
+
+    for (ts, fd), (w, h, nf) in zip(MP4_FPS, [(64, 64, 1), (320, 240, 49), (512, 128, 97), (176, 144, 8)]):
+        b = build_mp4(w, h, nf, ts, fd)
+        assert parse_mp4_header(b) == (w, h, nf, ts, nf * fd, MP4_SAMPLE_SIZE, MP4_DATA_OFFSET)
+        # mdat really contains the declared samples: fixed header + n*size
+        assert len(b) == MP4_DATA_OFFSET + nf * MP4_SAMPLE_SIZE
+    base = build_mp4(320, 240, 10, 30000, 1001)
+    free = struct.pack(">I", 16) + b"free" + bytes(8)
+    spliced = base[:24] + free + base[24:]
+    w, h, nf, ts, dur, ssz, off = parse_mp4_header(spliced)
+    assert (w, h, nf, ts, dur, ssz) == (320, 240, 10, 30000, 10 * 1001, MP4_SAMPLE_SIZE)
+    # stco still points at the ORIGINAL offset (the splice shifted the
+    # actual mdat; a real remuxer would rewrite stco — the parser's job
+    # is to report what the container claims, which it does)
+    assert off == MP4_DATA_OFFSET
+    assert parse_mp4_header(base[:40]) is None  # truncated inside moov
+    assert parse_mp4_header(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_mp4_header(b"RIFF1234WAVE") is None
+    assert parse_mp4_header(None) is None
