@@ -37,6 +37,7 @@ HEADLINE = [
     "dd_url",
     "dd_minhash_lsh",
     "dd_simhash",
+    "dd_bloom",
     "sim_topk_bruteforce",
     "sim_neardup_cosine",
     "tx_quality",
@@ -46,7 +47,13 @@ HEADLINE = [
     "tx_sample",
     "tx_pack",
     "tx_redact",
+    "tx_vocab",
+    "tx_bpe",
+    "tx_classify",
+    "rel_scd2",
     "mm_meta",
+    "mm_frames",
+    "mm_audio",
     "st_tumbling_agg",
     "kg_extract",
     "kg_mentions",
@@ -55,6 +62,7 @@ HEADLINE = [
     "kg_relations",
     "kg_graph",
     "kg_assoc",  # after kg_graph: reuses the pass's cached candidates
+    "kg_khop",  # likewise (same thresholded co-occurrence edge set)
     "kg_triples",
 ]
 

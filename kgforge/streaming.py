@@ -9,7 +9,11 @@ parity test asserts stream output == batch output on the same rows.
 
 At production scale the stream source is Kafka/Iceberg-CDC; locally the
 parity test drives a parquet directory through readStream with
-`processAllAvailable()`.
+`processAllAvailable()`. `run_stream_exactly_once_restart` carries the
+batch pipeline's crash-safe checkpoint discipline to the streaming
+sink: an idempotent per-batchId foreachBatch writer, killed in the
+at-least-once window and resumed from the same checkpoint, proven
+exactly-once by row parity with the batch run.
 """
 
 from __future__ import annotations
@@ -415,6 +419,109 @@ def run_stream_ingest_gate_parity(
         .collect()
     )
     return stream_rows, batch_rows
+
+
+class _InjectedCrash(RuntimeError):
+    """Deterministic mid-stream failure injected by the recovery test."""
+
+
+def run_stream_exactly_once_restart(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    fail_after: int = 2,
+    max_files_per_trigger: int = 1,
+) -> tuple[list, list, list[int]]:
+    """Exactly-once file sink + checkpoint recovery — the streaming twin
+    of the batch pipeline's crash-safe checkpoint discipline
+    (kgforge/checkpoint.py, kgforge/incremental.py).
+
+    foreachBatch writes each micro-batch to `out_dir/bid=<batchId>` with
+    mode=overwrite: the batchId is stable across a replay (the file
+    source's offset log pins which input files batch N contains), so an
+    idempotent per-batch overwrite makes the sink exactly-once even
+    though foreachBatch itself is at-least-once. The first query CRASHES
+    after the write for batch `fail_after` lands but before Structured
+    Streaming records the batch commit — the worst-case window, where an
+    at-least-once sink without idempotence would double the batch. A
+    second query started on the SAME checkpoint replays that batch
+    (same id, same input files, overwriting the same directory) and
+    drains the remaining input.
+
+    Returns (sink_rows, batch_rows, batch_ids): the recovered sink's
+    contents, the same stateless gate run in plain batch mode, and the
+    sorted distinct bid= values found in out_dir — contiguity proves no
+    batch was skipped, equality of the row lists proves none was
+    doubled."""
+    schema = "doc_id long, text string, source string"
+
+    def gate(df: DataFrame) -> DataFrame:
+        words = F.split(F.col("text"), " ")
+        return df.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.length("text").alias("n_chars"),
+        ).filter(F.col("n_words") >= 3)
+
+    def make_sink(crash_at: int | None):
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(f"{out_dir}/bid={batch_id}")
+            if crash_at is not None and batch_id == crash_at:
+                raise _InjectedCrash(f"injected crash after batch {batch_id}")
+
+        return sink
+
+    def start(crash_at: int | None):
+        stream = gate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(docs_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(make_sink(crash_at))
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+
+    q = start(crash_at=fail_after)
+    try:
+        q.processAllAvailable()
+        raise AssertionError("injected crash did not fire (too few batches?)")
+    except Exception as e:  # StreamingQueryException wraps the injected error
+        if "_InjectedCrash" not in str(type(e)) and "injected crash" not in str(e):
+            raise
+    finally:
+        q.stop()
+
+    q2 = start(crash_at=None)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    import re
+    from pathlib import Path
+
+    batch_ids = sorted(
+        int(m.group(1))
+        for p in Path(out_dir).iterdir()
+        if (m := re.fullmatch(r"bid=(\d+)", p.name))
+    )
+    sink_rows = [
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "n_words", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    batch_rows = [
+        tuple(r)
+        for r in gate(spark.read.schema(schema).parquet(docs_dir))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    return sink_rows, batch_rows, batch_ids
 
 
 QUERIES = {

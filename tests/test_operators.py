@@ -1312,3 +1312,44 @@ def test_mp4_parser_roundtrip_and_box_walk():
     assert parse_mp4_header(b"\x89PNG\r\n\x1a\n") is None
     assert parse_mp4_header(b"RIFF1234WAVE") is None
     assert parse_mp4_header(None) is None
+
+
+def test_stream_exactly_once_restart(spark, tmp_path):
+    """Crash-and-resume recovery for the streaming sink: the first query
+    dies AFTER batch fail_after's files are written but BEFORE its
+    commit is recorded — the at-least-once window — and a second query
+    on the same checkpoint must replay that batch idempotently and
+    drain the rest. Exactly-once is proven by row-for-row equality with
+    the batch run (a doubled batch would duplicate rows; a skipped one
+    would drop them) plus contiguous bid= partitions in the sink."""
+    from kgforge.streaming import run_stream_exactly_once_restart
+
+    schema = "doc_id long, text string, source string"
+    flat = str(tmp_path / "docs")
+    import os
+
+    os.makedirs(flat)
+    # 5 single-row-group files -> 5 micro-batches at maxFilesPerTrigger=1
+    for i in range(5):
+        rows = [(i * 10 + j, f"alpha beta gamma doc {i} {j}", "s") for j in range(4)]
+        rows.append((i * 10 + 9, "tiny", "s"))  # fails the n_words gate
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"tmp{i}")
+        )
+        import glob
+        import shutil
+
+        (src,) = glob.glob(str(tmp_path / f"tmp{i}" / "part-*.parquet"))
+        shutil.copy(src, f"{flat}/{i:05d}.parquet")
+
+    sink_rows, batch_rows, batch_ids = run_stream_exactly_once_restart(
+        spark,
+        flat,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        fail_after=2,
+    )
+    assert sink_rows == batch_rows, "sink diverged from batch (dup or loss)"
+    assert len(sink_rows) == 20  # 4 survivors x 5 files; the gate dropped 5
+    assert batch_ids == list(range(len(batch_ids))), f"non-contiguous {batch_ids}"
+    assert len(batch_ids) >= 4, "crash fired too late to test resumption"
