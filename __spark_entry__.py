@@ -49,7 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming.QUERIES)
     for name in dedup.DRIVER_QUERIES:  # dd_exact/passage/url/bloom melt into dd_stats
         out[name] = dedup.QUERIES[name]
-    out.update(similarity.QUERIES)
+    for name in similarity.DRIVER_QUERIES:  # sim_topk_pq stays bench/pytest-only
+        out[name] = similarity.QUERIES[name]
     for name in textstats.DRIVER_QUERIES:  # standalones melt into tx_stats
         out[name] = textstats.QUERIES[name]
     out.update(temporal.QUERIES)

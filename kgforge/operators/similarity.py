@@ -450,12 +450,187 @@ SELECT query_id, rnk, cand_id, cos FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# PQ: product quantization + asymmetric-distance shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces: 64-dim -> 8 dims each
+PQ_KS = 16  # codes per sub-codebook -> 8 x 4 bits = 8 bytes/vector (32x vs fp32)
+PQ_SAMPLE = 2048
+PQ_ITERS = 20
+# ADC shortlist per query before the exact re-rank. Sized for the
+# uniform-sphere worst case (measured recall@5 on the synthetic table:
+# 48 -> 0.68, 64 -> 0.76, 96 -> 0.86, 128 -> 0.92); on clustered
+# embeddings — the regime PQ exists for — 48 already clears 0.9. On a
+# real corpus this scales with the tolerated candidate fraction, not N.
+PQ_SHORTLIST = 96
+
+
+def train_pq_codebooks(
+    e: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    m: int = PQ_M, ks: int = PQ_KS, sample_n: int = PQ_SAMPLE, seed: int = 43,
+) -> np.ndarray:
+    """Per-subspace L2 k-means codebooks, (m, ks, d/m), fit on the same
+    deterministic driver-side sample discipline as train_centroids (a
+    TABLESAMPLE on a real corpus; the codebooks are m*ks*(d/m) doubles =
+    one vector's worth of floats per code, broadcast by closure)."""
+    rows = e.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    ds = X.shape[1] // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, ds))
+    for j in range(m):
+        S = X[:, j * ds : (j + 1) * ds]
+        C = S[rng.choice(len(S), min(ks, len(S)), replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d2 = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+            a = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                msk = a == c
+                if msk.any():
+                    C[c] = S[msk].mean(axis=0)
+        books[j, : len(C)] = C
+        if len(C) < ks:  # degenerate sample: repeat the last centroid
+            books[j, len(C) :] = C[-1]
+    return books
+
+
+def make_pq_encode_udf(books: np.ndarray):
+    """Arrow-batched PQ encoder: per subspace, one matmul argmin against
+    the sub-codebook; emits m small int codes per vector — the 8-byte
+    representation that replaces the 256-byte fp32 vector in every
+    downstream shuffle and scan."""
+    m, ks, ds = books.shape
+    sq = (books * books).sum(axis=2)  # (m, ks)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        X = np.array(emb.tolist(), dtype=np.float64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * ds : (j + 1) * ds]
+            d2 = -2.0 * (S @ books[j].T) + sq[j][None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(codes.tolist())
+
+    return encode
+
+
+def pq_topk(
+    e: DataFrame, query_pred, shortlist: int = PQ_SHORTLIST, top_k: int = TOP_K
+) -> DataFrame:
+    """PQ ANN: encode the collection to m-byte codes, scan the codes
+    with per-query asymmetric-distance lookup tables (LUT[j][code] =
+    dot(query_subvector, sub-centroid), so approx_dot = sum of m table
+    lookups — no float vector is touched during the scan), shortlist
+    per query, then exact-cosine re-rank only the shortlist.
+
+    100-TB shape: the scan is mapInPandas over the CODES column only
+    (8 bytes/vector instead of 256 — the scan reads 3% of the bytes a
+    brute-force pass reads), each task emits at most shortlist rows per
+    query (per-partition top-t is a superset-safe distributive top-k,
+    tie-broken by (adc desc, cand_id) so the shortlist is partition-
+    invariant), the global shortlist window sees tasks*shortlist rows,
+    and the exact re-rank joins vectors for shortlist*|Q| candidates
+    via an equi-join with the tiny query side broadcast. Queries are
+    collected driver-side to build LUTs — metadata-scale by definition
+    of a query batch (|Q| * m * ks doubles)."""
+    books = train_pq_codebooks(e)
+    m, ks, ds = books.shape
+    encode = make_pq_encode_udf(books)
+    codes = e.select("vec_id", encode("embedding").alias("code"))
+    qrows = (
+        e.filter(query_pred(F.col("vec_id")))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    lut = np.stack(
+        [Q[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m)], axis=1
+    )  # (|Q|, m, ks)
+
+    scan_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.array(pdf["code"].tolist(), dtype=np.int64)  # (B, m)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            A = lut[:, 0, :][:, Cd[:, 0]]
+            for j in range(1, m):
+                A = A + lut[:, j, :][:, Cd[:, j]]
+            t = min(shortlist, A.shape[1])
+            # deterministic per-partition top-t: (-adc, cand_id) lexsort
+            order = np.lexsort((np.broadcast_to(ids, A.shape), -A), axis=1)[:, :t]
+            out_q = np.repeat(qids, t)
+            out_c = ids[order].ravel()
+            out_a = np.take_along_axis(A, order, axis=1).ravel()
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c, "adc": out_a})
+
+    part = codes.mapInPandas(scan, scan_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    short = (
+        part.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "cand_id")
+    )
+    cv = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    qv = e.filter(query_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        short.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_norm_dot(F.col("qv"), F.col("cv")), 9).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "rnk", "cand_id", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over the embeddings table (approximate — recall vs the
+    brute-force oracle is pytest-gated, like sim_topk_ivf; bench/
+    verify-local surface, not in the capped driver registry)."""
+    e = read_table(spark, "embeddings", sf_dir)
+    return pq_topk(e, lambda vid: vid % 50 == 0)
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_ivf_rerank": sim_ivf_rerank,
     "sim_neardup_cosine": sim_neardup_cosine,
+    "sim_topk_pq": sim_topk_pq,
 }
+
+# the names __spark_entry__ registers (the driver caps CORRECTNESS at
+# ~50 rows; sim_topk_pq stays bench/pytest-only — approximate op whose
+# recall gate lives in the suite, same rationale as dd_simhash's twin)
+DRIVER_QUERIES = [
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_ivf_rerank",
+    "sim_neardup_cosine",
+]
 
 ORACLES = {
     "sim_topk_bruteforce": ORACLE_SIM_TOPK_BRUTEFORCE,

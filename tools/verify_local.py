@@ -78,9 +78,9 @@ def main() -> int:
         # also sweeps the tx_* standalones folded into tx_stats (same
         # rationale as the relational compounds: the bundles are what
         # the driver records, the standalones stay verifiable here)
-        from kgforge.operators import dedup, relational, textstats
+        from kgforge.operators import dedup, relational, similarity, textstats
 
-        for mod in (relational, textstats, dedup):
+        for mod in (relational, textstats, dedup, similarity):
             for name, fn in mod.QUERIES.items():
                 qs.setdefault(name, fn)
             for name, sql in mod.ORACLES.items():
