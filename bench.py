@@ -82,10 +82,11 @@ def main() -> int:
     # bundles); the bench headline keeps the r01/r02 standalone queries
     # for round-over-round comparability, so fall back to the full
     # relational inventory for names the registry no longer carries
-    from kgforge.operators import relational, similarity, textstats
+    from kgforge.operators import dedup, relational, similarity, textstats
 
     qs = dict(relational.QUERIES)
     qs.update(textstats.QUERIES)  # tx_* standalones melt into tx_stats
+    qs.update(dedup.QUERIES)  # dd_exact/passage/url/bloom melt into dd_stats
     qs.update(similarity.QUERIES)  # sim_topk_pq is bench/pytest-only
     qs.update(se.queries())
     timings: dict[str, float] = {}

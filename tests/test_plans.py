@@ -236,3 +236,37 @@ def test_bloom_probe_broadcasts_and_never_shuffles_probe_side(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_registry_wide_plan_hygiene(spark, sf001):
+    """Sweep EVERY registered driver query (plus the bench-only
+    standalones) and pin the two global plan invariants the point
+    tests above check locally:
+
+    - no CartesianProduct anywhere except the one labeled exact
+      baseline (sim_topk_bruteforce). BroadcastNestedLoopJoin is NOT
+      banned: several queries join a 1-row aggregate scalar (corpus
+      constant, lazy by design) which planners express as a broadcast
+      nested loop — broadcast-bounded, nothing like an all-pairs
+      shuffle.
+    - no BatchEvalPython anywhere: row-at-a-time Python UDFs are banned
+      on the whole surface (Arrow/pandas evaluation is the only Python
+      path allowed)
+
+    Construction-time jobs (quantizer training, khop rounds) are fine —
+    this inspects whatever DataFrame each query returns."""
+    import __spark_entry__ as se
+    from kgforge.operators import similarity
+
+    allow_cross = {"sim_topk_bruteforce"}
+    qs = dict(se.queries())
+    qs["sim_topk_pq"] = similarity.QUERIES["sim_topk_pq"]
+    bad = []
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, sf001)
+        plan = plan_of(df)
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: row-at-a-time Python UDF")
+        if name not in allow_cross and "CartesianProduct" in plan:
+            bad.append(f"{name}: cartesian product")
+    assert not bad, "plan hygiene violations:\n" + "\n".join(bad)
