@@ -51,6 +51,7 @@ HEADLINE = [
     "tx_vocab",
     "tx_bpe",
     "tx_classify",
+    "tx_winnow",
     "rel_scd2",
     "mm_meta",
     "mm_frames",

@@ -794,6 +794,86 @@ FROM w ORDER BY doc_id
 """
 
 
+# Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprint): gram
+# size and window. Guarantee: any shared run of WIN_K + WIN_W - 1 words
+# between two documents yields at least one shared fingerprint, while
+# only ~2/(WIN_W+1) of grams are kept.
+WIN_K = 5
+WIN_W = 4
+
+
+def winnow(docs: DataFrame, k: int = WIN_K, w: int = WIN_W) -> DataFrame:
+    """Winnowing document fingerprints: hash every word k-gram, slide a
+    w-window over the gram-hash sequence, keep each window's MINIMUM
+    hash, emit the distinct kept hashes per document with the first
+    window index that selected them. This is the robust fingerprint
+    behind MOSS-style near-dup/overlap detection — unlike a single
+    rolling hash (tx_fingerprint), local edits only perturb the
+    fingerprints whose windows they touch.
+
+    Engine-portable determinism: gram hashes are md5 hex strings (the
+    decontam convention — Spark and DuckDB produce identical lowercase
+    hex, and lexicographic MIN over hex strings is tie-free as a value),
+    window mins are pure array arithmetic inside codegen (no explode
+    until the final distinct-fingerprint emit, which fans out ~2/(w+1)
+    rows per gram), and there is NO shuffle at all — the operator is a
+    map-only projection, so at 100 TB it scales with scan bandwidth."""
+    ws = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", ws.alias("ws")).filter(
+        F.size("ws") >= k + w - 1
+    )
+    ng = F.size("ws") - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), ng),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(F.col("ws"), i + j) for j in range(k)])
+        ),
+    )
+    g = base.select("doc_id", grams.alias("ghs"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("ghs") - (w - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(w - 1)),
+                lambda d: F.element_at(F.col("ghs"), j + d),
+            )
+        ),
+    )
+    v = g.select("doc_id", wins.alias("wins"))
+    return v.select(
+        "doc_id", "wins", F.explode(F.array_distinct("wins")).alias("fp")
+    ).select(
+        "doc_id",
+        "fp",
+        F.array_position("wins", F.col("fp")).cast("int").alias("first_win"),
+    )
+
+
+def tx_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        winnow(read_table(spark, "documents", sf_dir))
+        .orderBy("doc_id", "first_win")
+    )
+
+
+ORACLE_TX_WINNOW = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= {WIN_K + WIN_W - 1}),
+gh AS (SELECT doc_id,
+              list_transform(range(1, len(ws) - {WIN_K - 1} + 1), i ->
+                md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4])) AS ghs
+       FROM w),
+wins AS (SELECT doc_id,
+                list_transform(range(1, len(ghs) - {WIN_W - 1} + 1), j ->
+                  list_min(list_slice(ghs, j, j + {WIN_W - 1}))) AS wins
+         FROM gh)
+SELECT doc_id, fp, CAST(list_position(wins, fp) AS INT) AS first_win
+FROM (SELECT doc_id, wins, unnest(list_distinct(wins)) AS fp FROM wins)
+ORDER BY doc_id, first_win
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # The five tx_* operators melt into ONE registered query (tx_stats) via
 # the same machinery as relational's compounds — every cell of every
@@ -852,6 +932,7 @@ _TX_CELLS = {
     ),
     "tx_bpe": (None, ["rnk"], [("pair", "s"), ("pair_count", "n")]),
     "tx_classify": (None, ["doc_id"], [("ml_score", "n"), ("ml_keep", "s")]),
+    "tx_winnow": (None, ["doc_id", "fp"], [("first_win", "n")]),
 }
 
 
@@ -885,6 +966,7 @@ QUERIES = {
     "tx_vocab": tx_vocab,
     "tx_bpe": tx_bpe,
     "tx_classify": tx_classify,
+    "tx_winnow": tx_winnow,
 }
 
 ORACLES = {
@@ -902,6 +984,7 @@ ORACLES = {
     "tx_vocab": ORACLE_TX_VOCAB,
     "tx_bpe": ORACLE_TX_BPE,
     "tx_classify": ORACLE_TX_CLASSIFY,
+    "tx_winnow": ORACLE_TX_WINNOW,
 }
 
 

@@ -1430,3 +1430,34 @@ def test_pq_clustered_recall_and_compression(spark):
     ).collect()
     assert all(len(r["code"]) == PQ_M for r in codes)
     assert all(0 <= c < PQ_KS for r in codes for c in r["code"])
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing theorem: two documents sharing a run of at least
+    WIN_K + WIN_W - 1 words MUST share at least one fingerprint (this
+    is the property that makes it a dedup primitive, not a sampler),
+    and the kept-fingerprint density must sit near the theoretical
+    ~2/(w+1) of grams — far below 1.0 (it actually compresses) and
+    above 1/w (no window is silently dropped)."""
+    from kgforge.operators.textstats import WIN_K, WIN_W, winnow
+
+    shared = "zebra quark nimbus felt oak crater mantis vole"  # 8 = K+W-1 words
+    assert len(shared.split()) == WIN_K + WIN_W - 1
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot " + shared + " golf hotel india"),
+        (2, shared + " juliet kilo lima mike november oscar papa quebec romeo"),
+        (3, "one two three four five six seven eight nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow(df).collect()
+    fps = {}
+    for r in got:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared K+W-1 run produced no shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # density on a long no-repeat doc: distinct kept / grams ~ 2/(w+1)
+    words = " ".join(f"w{i}x" for i in range(500))
+    d2 = spark.createDataFrame([(9, words)], "doc_id long, text string")
+    kept = len(winnow(d2).collect())
+    n_grams = 500 - WIN_K + 1
+    assert 1 / WIN_W <= kept / n_grams <= 0.6, f"density {kept/n_grams:.2f}"

@@ -270,3 +270,18 @@ def test_registry_wide_plan_hygiene(spark, sf001):
         if name not in allow_cross and "CartesianProduct" in plan:
             bad.append(f"{name}: cartesian product")
     assert not bad, "plan hygiene violations:\n" + "\n".join(bad)
+
+
+def test_winnow_is_zero_shuffle_codegen(spark, sf001):
+    """Winnowing is a map-only projection: gram hashing and window mins
+    are array arithmetic inside codegen, the only row fan-out is the
+    final fingerprint explode — no Exchange, no Python."""
+    from kgforge.operators.textstats import tx_winnow
+
+    plan = plan_of(tx_winnow(spark, sf001))
+    # the trailing orderBy is presentation; everything before it must be
+    # exchange-free, so the whole plan carries at most the orderBy's
+    # range exchange (and its AQE echo).
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
