@@ -524,6 +524,78 @@ def run_stream_exactly_once_restart(
     return sink_rows, batch_rows, batch_ids
 
 
+PAGES_STREAM_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_incremental_ingest(
+    spark: SparkSession,
+    out_dir: str,
+    dict_path: str,
+    pages_dir: str,
+    work_dir: str,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Live-crawl ingestion: the streaming front door to the incremental
+    merge-on-read engine. Page files arriving in `pages_dir` are read as
+    a file stream; each micro-batch lands as ONE incremental batch via
+    foreachBatch -> incremental_update, so the stored layout, metrics,
+    crash-safe atomic batch commit, and representative-stability
+    semantics are EXACTLY the batch path's — streaming adds only arrival
+    scheduling.
+
+    Exactly-once across micro-batch replays: foreachBatch is
+    at-least-once, and incremental_update treats every call as a new
+    batch, so a replay would re-ingest the same urls as a duplicate
+    increment. The guard is an anti-join against every COMMITTED
+    mapping's urls (base + visible increments — the same recovery read
+    incremental_update itself performs): a replayed batch arrives fully
+    known and is skipped; a batch that crashed mid-ingest left no
+    visible increment (atomic rename) and re-runs cleanly.
+
+    Returns the number of increments ingested by this call."""
+    import os
+
+    from kgforge.incremental import _increment_dirs, incremental_update
+
+    n_ingested = 0
+
+    def known_urls() -> DataFrame:
+        known = spark.read.parquet(os.path.join(out_dir, "canon_mapping")).select(
+            "url"
+        )
+        for d in _increment_dirs(out_dir):
+            mp = os.path.join(out_dir, "increments", d, "mapping")
+            if os.path.isdir(mp):
+                known = known.union(spark.read.parquet(mp).select("url"))
+        return known
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_ingested
+        fresh = batch_df.join(known_urls(), "url", "left_anti")
+        p = os.path.join(work_dir, f"stream_batch_{batch_id}")
+        fresh.write.mode("overwrite").parquet(p)
+        if spark.read.parquet(p).limit(1).count() == 0:
+            return  # replayed batch: everything already committed
+        incremental_update(spark, out_dir, p, dict_path, auto_compact_after=None)
+        n_ingested += 1
+
+    q = (
+        spark.readStream.schema(PAGES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return n_ingested
+
+
 QUERIES = {
     "st_tumbling_agg": st_tumbling_agg,
     "st_sessionize": st_sessionize,

@@ -462,3 +462,65 @@ def test_bloom_prefilter_is_output_preserving(
                 "n_capped_blocks", "deferred_base_merges"):
         if key in infos[True] or key in infos[False]:
             assert infos[True].get(key) == infos[False].get(key), key
+
+
+def test_stream_ingest_matches_batch_and_is_replay_safe(
+    spark, fixture_dir, base_run, tmp_path
+):
+    """The streaming front door (foreachBatch -> incremental_update)
+    must produce EXACTLY the state the batch path produces from the
+    same files, and a full re-stream of already-committed input must
+    ingest nothing (the known-url anti-join guard — the at-least-once
+    window for foreachBatch replays)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from kgforge.streaming import stream_incremental_ingest
+
+    a = str(tmp_path / "stream_out")
+    b = str(tmp_path / "batch_out")
+    shutil.copytree(base_run, a)
+    shutil.copytree(base_run, b)
+    dict_path = f"{fixture_dir}/concept_dict.parquet"
+
+    # two arrival files with disjoint, unrelated content (no cross-file
+    # near-dups, so ingestion grouping cannot affect representatives)
+    files = [
+        [_mk_page("https://live.example.com/s1", dt.datetime(2024, 7, 1),
+                  "streaming ingestion of a crawl batch with a hash table mention inside")],
+        [_mk_page("https://live.example.com/s2", dt.datetime(2024, 7, 2),
+                  "a second arrival about query plans and broadcast joins entirely distinct")],
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages_dir = str(tmp_path / "arrivals")
+    os.makedirs(pages_dir)
+    batch_dirs = []
+    for i, rows in enumerate(files):
+        d = str(tmp_path / f"file{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        (src,) = glob.glob(f"{d}/part-*.parquet")
+        shutil.copy(src, f"{pages_dir}/{i:05d}.parquet")
+        batch_dirs.append(d)
+
+    n = stream_incremental_ingest(
+        spark, a, dict_path, pages_dir, str(tmp_path / "work1")
+    )
+    assert n == 2  # one increment per arrival file
+
+    for d in batch_dirs:
+        incremental_update(spark, b, d, dict_path, auto_compact_after=None)
+
+    t_stream = sorted(map(tuple, read_triples(spark, a).collect()))
+    t_batch = sorted(map(tuple, read_triples(spark, b).collect()))
+    assert t_stream == t_batch
+    assert any("live.example.com/s1" in str(t) for t in t_stream)
+
+    # full replay from a fresh checkpoint: everything is already
+    # committed, so nothing may be ingested and the view is unchanged
+    n2 = stream_incremental_ingest(
+        spark, a, dict_path, pages_dir, str(tmp_path / "work2")
+    )
+    assert n2 == 0
+    assert sorted(map(tuple, read_triples(spark, a).collect())) == t_stream
