@@ -52,6 +52,7 @@ HEADLINE = [
     "tx_bpe",
     "tx_classify",
     "tx_winnow",
+    "tx_dsir",
     "rel_scd2",
     "mm_meta",
     "mm_frames",

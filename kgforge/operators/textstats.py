@@ -515,6 +515,8 @@ FROM g ORDER BY stage
 VOCAB_TOPK = 100
 BPE_TOPK = 50
 CLS_DIM = 64  # hashed-feature dimension of the linear classifier
+DSIR_D = 1024  # hashed bag-of-words buckets of the DSIR importance model
+DSIR_TARGET_MOD = 29  # doc_id % MOD == 0 -> the "curated target" slice
 TOPK_BUCKETS = 64
 
 
@@ -874,6 +876,141 @@ ORDER BY doc_id, first_win
 """
 
 
+def _dsir_bucket(w):
+    """Hashed bag-of-words feature: the tx_fingerprint rolling hash of a
+    word, folded into one of DSIR_D buckets."""
+    return (
+        F.aggregate(
+            F.split(w, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        )
+        % DSIR_D
+    )
+
+
+def dsir(docs: DataFrame) -> DataFrame:
+    """DSIR-style importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023): estimate how target-domain-like each
+    document is under hashed bag-of-words models of a curated target
+    slice vs the raw corpus, so a training-data pipeline can resample
+    raw crawl toward the target mixture. The target slice here is the
+    deterministic doc_id % DSIR_TARGET_MOD == 0 subset (standing in for
+    a curated corpus, the same self-synthesis idiom as decontam's eval
+    set); the features are DSIR's hashed n-gram buckets with n=1.
+
+    Engine-portable determinism: DSIR's log-ratio sum is replaced by an
+    exactly-computable mass ratio — per-doc integer sums of target /
+    raw bucket counts (order-free), then score =
+    ((st+1)/(sr+1)) * (tr/tt), three IEEE ops in a fixed order, so
+    Spark and DuckDB agree bit-for-bit (ln() is not correctly-rounded
+    across engines; division and multiplication are). score > 1 means
+    the doc's vocabulary leans toward the target slice relative to the
+    corpus-wide base rate; +1 is the usual add-one smoothing.
+
+    100-TB shape — DSIR's own architecture: pass 1 "trains" the model
+    (explode -> bucket -> groupBy over DSIR_D keys; map-side combine
+    collapses hub words per partition, the shuffle carries at most
+    DSIR_D rows per partition) and packs it into ONE row
+    (map + two totals) that pass 2 broadcasts; scoring is zero-shuffle
+    whole-stage codegen — the corpus text never shuffles, and on a
+    cluster the trained model row would be persisted once and reused
+    across scoring runs. Words are bucket-hashed ONCE into a
+    materialized array column (the tx_repetition lesson: lambda CSE
+    across an unmaterialized split is unreliable), then each of the two
+    masses is an integer fold with a broadcast-map lookup."""
+    is_target = (F.col("doc_id") % DSIR_TARGET_MOD) == 0
+    buckets = docs.select(
+        is_target.alias("is_target"),
+        F.explode(F.transform(F.split("text", " "), _dsir_bucket)).alias("bucket"),
+    )
+    model = (
+        buckets.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+            F.count(F.lit(1)).cast("long").alias("cr"),
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket"),
+                        F.struct(F.col("ct"), F.col("cr")).alias("v"),
+                    )
+                )
+            ).alias("m"),
+            F.sum("ct").cast("long").alias("tt"),
+            F.sum("cr").cast("long").alias("tr"),
+        )
+    )
+    hashed = docs.select(
+        "doc_id", F.transform(F.split("text", " "), _dsir_bucket).alias("hbs")
+    )
+
+    def mass(field):
+        return F.aggregate(
+            F.col("hbs"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.coalesce(
+                F.try_element_at(F.col("m"), b).getField(field),
+                F.lit(0).cast("long"),
+            ),
+        )
+
+    st, sr = mass("ct").alias("target_mass"), mass("cr").alias("raw_mass")
+    scored = hashed.crossJoin(F.broadcast(model)).select("doc_id", st, sr, "tt", "tr")
+    score = (
+        (F.col("target_mass") + 1).cast("double") / (F.col("raw_mass") + 1)
+    ) * (F.col("tr").cast("double") / F.col("tt"))
+    return scored.select(
+        "doc_id",
+        "target_mass",
+        "raw_mass",
+        score.alias("dsir_score"),
+        (score >= 1.0).alias("dsir_keep"),
+    )
+
+
+def tx_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+_WH_DSIR_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(w,''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a,x) -> (a*{FP_BASE}+x) % {FP_MOD}) % {DSIR_D}"
+)
+ORACLE_TX_DSIR = f"""
+WITH hb AS (SELECT doc_id, doc_id % {DSIR_TARGET_MOD} = 0 AS is_target,
+                   list_transform(string_split(text,' '), w -> {_WH_DSIR_SQL}) AS hbs
+            FROM documents),
+ex AS (SELECT is_target, unnest(hbs) AS bucket FROM hb),
+agg AS (SELECT bucket, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+               count(*) AS cr
+        FROM ex GROUP BY bucket),
+dense AS (SELECT CAST(r.range AS BIGINT) AS bucket,
+                 coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+          FROM range(0, {DSIR_D}) r LEFT JOIN agg ON agg.bucket = r.range),
+model AS (SELECT list(ct ORDER BY bucket) AS lt, list(cr ORDER BY bucket) AS lr,
+                 CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+          FROM dense),
+masses AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(hbs, b -> lt[CAST(b AS INT) + 1])) AS BIGINT) AS target_mass,
+                  CAST(list_sum(list_transform(hbs, b -> lr[CAST(b AS INT) + 1])) AS BIGINT) AS raw_mass,
+                  tt, tr
+           FROM hb, model)
+SELECT doc_id, target_mass, raw_mass,
+       (CAST(target_mass + 1 AS DOUBLE) / (raw_mass + 1))
+         * (CAST(tr AS DOUBLE) / tt) AS dsir_score,
+       (CAST(target_mass + 1 AS DOUBLE) / (raw_mass + 1))
+         * (CAST(tr AS DOUBLE) / tt) >= 1.0 AS dsir_keep
+FROM masses ORDER BY doc_id
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # The five tx_* operators melt into ONE registered query (tx_stats) via
 # the same machinery as relational's compounds — every cell of every
@@ -933,6 +1070,11 @@ _TX_CELLS = {
     "tx_bpe": (None, ["rnk"], [("pair", "s"), ("pair_count", "n")]),
     "tx_classify": (None, ["doc_id"], [("ml_score", "n"), ("ml_keep", "s")]),
     "tx_winnow": (None, ["doc_id", "fp"], [("first_win", "n")]),
+    "tx_dsir": (
+        None, ["doc_id"],
+        [("target_mass", "n"), ("raw_mass", "n"), ("dsir_score", "n"),
+         ("dsir_keep", "s")],
+    ),
 }
 
 
@@ -967,6 +1109,7 @@ QUERIES = {
     "tx_bpe": tx_bpe,
     "tx_classify": tx_classify,
     "tx_winnow": tx_winnow,
+    "tx_dsir": tx_dsir,
 }
 
 ORACLES = {
@@ -985,6 +1128,7 @@ ORACLES = {
     "tx_bpe": ORACLE_TX_BPE,
     "tx_classify": ORACLE_TX_CLASSIFY,
     "tx_winnow": ORACLE_TX_WINNOW,
+    "tx_dsir": ORACLE_TX_DSIR,
 }
 
 

@@ -1461,3 +1461,73 @@ def test_winnow_guarantee_and_density(spark):
     kept = len(winnow(d2).collect())
     n_grams = 500 - WIN_K + 1
     assert 1 / WIN_W <= kept / n_grams <= 0.6, f"density {kept/n_grams:.2f}"
+
+
+def test_dsir_matches_independent_python_model(spark):
+    """DSIR importance scoring vs a from-scratch pure-Python
+    reimplementation (hash, bucket counts, masses, ratio formula) on a
+    micro-corpus with one target-only word and one raw-only word —
+    collision-proof because the expectation recomputes the same hashed
+    buckets rather than assuming alpha/beta land apart. Target docs
+    (doc_id % DSIR_TARGET_MOD == 0) must score above 1 (kept), the
+    raw-only docs far below."""
+    from kgforge.operators.textstats import (
+        DSIR_D,
+        DSIR_TARGET_MOD,
+        FP_BASE,
+        FP_MOD,
+        dsir,
+    )
+
+    rows = [
+        (0, "alpha alpha alpha"),
+        (DSIR_TARGET_MOD, "alpha alpha alpha"),
+        (1, "beta beta beta"),
+        (2, "beta beta beta"),
+    ]
+
+    def bucket(w):
+        h = 0
+        for c in w:
+            h = (h * FP_BASE + ord(c)) % FP_MOD
+        return h % DSIR_D
+
+    ct, cr = {}, {}
+    for doc_id, text in rows:
+        for w in text.split(" "):
+            b = bucket(w)
+            cr[b] = cr.get(b, 0) + 1
+            if doc_id % DSIR_TARGET_MOD == 0:
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    expect = {}
+    for doc_id, text in rows:
+        st = sum(ct.get(bucket(w), 0) for w in text.split(" "))
+        sr = sum(cr.get(bucket(w), 0) for w in text.split(" "))
+        score = ((st + 1) / (sr + 1)) * (tr / tt)
+        expect[doc_id] = (st, sr, score, score >= 1.0)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dsir(df).collect()}
+    assert set(got) == set(expect)
+    for doc_id, (st, sr, score, keep) in expect.items():
+        r = got[doc_id]
+        assert (r["target_mass"], r["raw_mass"]) == (st, sr), doc_id
+        assert r["dsir_score"] == pytest.approx(score, abs=0, rel=0), doc_id
+        assert r["dsir_keep"] is keep, doc_id
+    # the semantics the operator exists for: target-slice vocabulary is
+    # upweighted, raw-only vocabulary is downweighted
+    assert got[0]["dsir_score"] > 1.0 > got[1]["dsir_score"]
+
+
+def test_dsir_partition_invariance(spark, sf001):
+    """The model is an order-free integer aggregation and the score a
+    fixed-order IEEE expression, so the output must be identical no
+    matter how the corpus is partitioned."""
+    from kgforge.operators.textstats import dsir
+    from kgforge.sources import read_table
+
+    d = read_table(spark, "documents", sf001)
+    a = sorted(map(tuple, dsir(d.repartition(1)).collect()))
+    b = sorted(map(tuple, dsir(d.repartition(7, "source")).collect()))
+    assert a == b

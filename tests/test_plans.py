@@ -285,3 +285,21 @@ def test_winnow_is_zero_shuffle_codegen(spark, sf001):
     assert plan.count("Exchange") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_scoring_is_broadcast_no_heavy_shuffle(spark, sf001):
+    """DSIR scoring joins the corpus to a ONE-row broadcast model: the
+    join must be a broadcast nested loop (1-row build side), never a
+    sort-merge or cartesian; the only exchanges belong to the model
+    training pass (DSIR_D-bucket hash + the single-row pack), and the
+    corpus text itself never shuffles. Everything stays JVM-side."""
+    from kgforge.operators.textstats import dsir
+    from kgforge.sources import read_table
+
+    plan = plan_of(dsir(read_table(spark, "documents", sf001)))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # model pass: bucket hash exchange + single-row pack; nothing else
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Exchange SinglePartition") <= 1
