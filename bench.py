@@ -38,6 +38,7 @@ HEADLINE = [
     "dd_minhash_lsh",
     "dd_simhash",
     "dd_bloom",
+    "dd_semdedup",
     "sim_topk_bruteforce",
     "sim_topk_pq",
     "sim_neardup_cosine",

@@ -703,14 +703,20 @@ _DD_CELLS = {
         [("n_variants", "n"), ("n_rows", "n"), ("first_doc", "n")],
     ),
     "dd_bloom": (None, ["new_id"], [("bloom_pass", "s"), ("dup_of", "n")]),
+    "dd_semdedup": (
+        None, ["dup_id"],
+        [("keeper_id", "n"), ("cos_keeper", "n"), ("n_above", "n"),
+         ("cell", "n")],
+    ),
 }
 
 
 def dd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compound exact-dedup bundle: content-hash dedup, sub-document
-    passage dedup, crawl-frontier URL canonicalization, and the
-    Bloom-prefiltered incremental batch dedup — the standalone dd_*
-    queries melted into one oracle-checked frame."""
+    """Compound dedup bundle: content-hash dedup, sub-document passage
+    dedup, crawl-frontier URL canonicalization, the Bloom-prefiltered
+    incremental batch dedup, and cluster-blocked semantic dedup
+    (SemDeDup) — the standalone dd_* queries melted into one
+    oracle-checked frame."""
     from kgforge.operators.relational import _compound
 
     specs = [
@@ -742,6 +748,16 @@ QUERIES = {
     "dd_bloom": dd_bloom,
 }
 
+# SemDeDup lives in similarity.py (it shares the embedding plumbing and
+# the deterministic-quantizer recipe) but belongs to the dedup family,
+# so it registers and melts here.
+from kgforge.operators.similarity import (  # noqa: E402
+    ORACLE_DD_SEMDEDUP,
+    dd_semdedup,
+)
+
+QUERIES["dd_semdedup"] = dd_semdedup
+
 ORACLES = {
     "dd_exact": ORACLE_DD_EXACT,
     "dd_ngram_jaccard": ORACLE_DD_NGRAM_JACCARD,
@@ -753,6 +769,7 @@ ORACLES = {
     "dd_passage": ORACLE_DD_PASSAGE,
     "dd_url": ORACLE_DD_URL,
     "dd_bloom": ORACLE_DD_BLOOM,
+    "dd_semdedup": ORACLE_DD_SEMDEDUP,
 }
 
 QUERIES["dd_stats"] = dd_stats

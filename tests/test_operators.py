@@ -1531,3 +1531,32 @@ def test_dsir_partition_invariance(spark, sf001):
     a = sorted(map(tuple, dsir(d.repartition(1)).collect()))
     b = sorted(map(tuple, dsir(d.repartition(7, "source")).collect()))
     assert a == b
+
+
+def test_semdedup_cosines_exact_and_clones_caught(spark, sf001):
+    """SemDeDup's emitted (dup, keeper, cos) rows must agree with an
+    independent numpy recomputation of the cosine, every pair must sit
+    at or above SEM_TAU, and the planted clones (vec_id+100000,
+    first-dim +0.05) must dominate the dropped set with their original
+    as keeper — the operator exists to catch exactly those."""
+    import numpy as np
+
+    from kgforge.operators.similarity import SEM_TAU, _neardup_vectors, dd_semdedup
+
+    vecs = {
+        r["vec_id"]: np.array(r["v"], dtype=np.float64)
+        for r in _neardup_vectors(spark, sf001).collect()
+    }
+    rows = dd_semdedup(spark, sf001).collect()
+    assert rows, "semdedup found nothing — vacuous"
+    n_clone_hits = 0
+    for r in rows:
+        a, b = vecs[r["keeper_id"]], vecs[r["dup_id"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r["cos_keeper"]) < 1e-9, (r, cos)
+        assert r["cos_keeper"] >= SEM_TAU
+        assert r["keeper_id"] < r["dup_id"]
+        if r["dup_id"] >= 100000 and r["keeper_id"] == r["dup_id"] - 100000:
+            n_clone_hits += 1
+    n_planted = sum(1 for vid in vecs if vid >= 100000)
+    assert n_clone_hits >= n_planted // 2, (n_clone_hits, n_planted)

@@ -303,3 +303,15 @@ def test_dsir_scoring_is_broadcast_no_heavy_shuffle(spark, sf001):
     # model pass: bucket hash exchange + single-row pack; nothing else
     assert plan.count("Exchange hashpartitioning") <= 1
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_semdedup_is_cell_blocked_no_cartesian(spark, sf001):
+    """SemDeDup's pair stage must be an equi-join on the quantizer cell
+    — never an all-pairs cartesian — and stay JVM-side (the quantizer,
+    cap, and cosine are all codegen arithmetic, no Python)."""
+    from kgforge.operators.similarity import dd_semdedup
+
+    plan = plan_of(dd_semdedup(spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
