@@ -54,6 +54,9 @@ HEADLINE = [
     "tx_classify",
     "tx_winnow",
     "tx_dsir",
+    "tx_bm25",
+    "tx_lmscore",
+    "dd_lines",
     "rel_scd2",
     "mm_meta",
     "mm_frames",

@@ -684,6 +684,111 @@ ORDER BY pass.new_id
 """
 
 
+DD_LINES_WORDS = 8  # words per synthesized body line
+DD_LINES_T = 10     # a line in >= T distinct docs is boilerplate
+
+
+def line_dedup(docs: DataFrame, t: int = DD_LINES_T) -> DataFrame:
+    """Cross-document boilerplate line removal (the CCNet/RefinedWeb
+    paragraph-dedup discipline, Wenzek et al. 2020: hash every line
+    corpus-wide, drop lines that recur across many documents — nav
+    bars, cookie banners, copyright footers). `docs` must carry a
+    `lines` array column; emits one row per doc with the post-removal
+    content hash so the check proves actual removal, not just counts.
+
+    100-TB shape: line text NEVER shuffles — each line is md5-hashed
+    map-side and only (16-byte hash, doc_id) crosses the wire for the
+    frequency count (dd_passage's discipline); the boilerplate set
+    (lines above the threshold — by construction at most
+    total_lines/T DISTINCT values, and in practice the tiny head of
+    the line-frequency distribution) comes back as ONE broadcast row
+    of sorted hashes (the DSIR model-row idiom), so the removal pass
+    is zero-shuffle whole-stage codegen over the original in-row line
+    arrays. If the boiler set ever outgrew a broadcast, the same plan
+    degrades to a hash-only shuffle semi-join — the text side still
+    never moves."""
+    ex = docs.select(
+        "doc_id", F.explode("lines").alias("line")
+    ).select("doc_id", F.md5("line").alias("lhash"))
+    boiler = (
+        ex.groupBy("lhash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= t)
+    )
+    brow = boiler.agg(
+        F.sort_array(F.collect_list("lhash")).alias("bhl")
+    )
+    is_kept = lambda x: ~F.array_contains(F.col("bhl"), F.md5(x))  # noqa: E731
+    kept = F.filter("lines", is_kept)
+    n_lines = F.size("lines")
+    n_boiler = (n_lines - F.size(kept)).cast("long")
+    return docs.crossJoin(F.broadcast(brow)).select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        n_boiler.alias("n_boiler"),
+        F.round(
+            n_boiler.cast("double") / n_lines.cast("double"), 9
+        ).alias("boiler_frac"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_md5"),
+    )
+
+
+def dd_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate dedup over deterministically synthesized
+    page lines: every doc gets a per-source copyright header and
+    subscribe footer (the duplicated-across-the-crawl boilerplate —
+    each recurs in 25-250 docs depending on sf) around its body split
+    into DD_LINES_WORDS-word lines (organically near-unique). The
+    synthesis is the same expression in both engines (the dd_url
+    idiom), so boilerplate survivors exist at every sf and the check
+    can never pass vacuously."""
+    d = read_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(DD_LINES_WORDS))).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice("ws", i * DD_LINES_WORDS + 1, DD_LINES_WORDS), " "
+        ),
+    )
+    header = F.concat(F.lit("copyright "), F.col("source"), F.lit(" all rights reserved"))
+    footer = F.concat(F.lit("subscribe to "), F.col("source"), F.lit(" newsletter updates"))
+    lines = F.concat(F.array(header), body, F.array(footer))
+    return line_dedup(
+        d.select("doc_id", lines.alias("lines"))
+    ).orderBy("doc_id")
+
+
+ORACLE_DD_LINES = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ls AS (
+  SELECT doc_id,
+         ['copyright ' || source || ' all rights reserved']
+         || list_transform(range(CAST(ceil(len(ws)/{DD_LINES_WORDS}.0) AS BIGINT)),
+              i -> array_to_string(ws[i*{DD_LINES_WORDS}+1 : i*{DD_LINES_WORDS}+{DD_LINES_WORDS}], ' '))
+         || ['subscribe to ' || source || ' newsletter updates'] AS lines
+  FROM w
+),
+ex AS (SELECT doc_id, md5(unnest(lines)) AS lhash FROM ls),
+boiler AS (SELECT lhash FROM ex GROUP BY lhash
+           HAVING count(DISTINCT doc_id) >= {DD_LINES_T}),
+brow AS (SELECT coalesce(list(lhash ORDER BY lhash), []) AS bhl FROM boiler),
+kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x -> NOT list_contains(bhl, md5(x))) AS kl
+  FROM ls, brow
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines) - len(kl) AS BIGINT) AS n_boiler,
+       round(CAST(len(lines) - len(kl) AS DOUBLE) / CAST(len(lines) AS DOUBLE), 9)
+         AS boiler_frac,
+       md5(array_to_string(kl, chr(10))) AS kept_md5
+FROM kept ORDER BY doc_id
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # dd_exact / dd_passage / dd_url / dd_bloom melt into ONE registered
 # query (dd_stats) via the same machinery as the rel_*/tx_* compounds —
@@ -703,6 +808,11 @@ _DD_CELLS = {
         [("n_variants", "n"), ("n_rows", "n"), ("first_doc", "n")],
     ),
     "dd_bloom": (None, ["new_id"], [("bloom_pass", "s"), ("dup_of", "n")]),
+    "dd_lines": (
+        None, ["doc_id"],
+        [("n_lines", "n"), ("n_boiler", "n"), ("boiler_frac", "n"),
+         ("kept_md5", "s")],
+    ),
     "dd_semdedup": (
         None, ["dup_id"],
         [("keeper_id", "n"), ("cos_keeper", "n"), ("n_above", "n"),
@@ -746,6 +856,7 @@ QUERIES = {
     "dd_passage": dd_passage,
     "dd_url": dd_url,
     "dd_bloom": dd_bloom,
+    "dd_lines": dd_lines,
 }
 
 # SemDeDup lives in similarity.py (it shares the embedding plumbing and
@@ -769,6 +880,7 @@ ORACLES = {
     "dd_passage": ORACLE_DD_PASSAGE,
     "dd_url": ORACLE_DD_URL,
     "dd_bloom": ORACLE_DD_BLOOM,
+    "dd_lines": ORACLE_DD_LINES,
     "dd_semdedup": ORACLE_DD_SEMDEDUP,
 }
 

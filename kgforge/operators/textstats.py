@@ -1011,6 +1011,328 @@ FROM masses ORDER BY doc_id
 """
 
 
+BM25_QMOD = 97  # doc_id % MOD == 0 -> self-synthesized retrieval queries
+BM25_QTERMS = 4  # each query = the doc's first 4 words (bag, not set)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25(docs: DataFrame) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck Jones probabilistic ranking —
+    the lexical-retrieval baseline a training-data pipeline uses for
+    eval-set decontamination sweeps and RAG-corpus indexing): rank the
+    corpus against a deterministic self-synthesized query set (each
+    doc_id % BM25_QMOD == 0 contributes its first BM25_QTERMS words as
+    a query — the decontam eval-set idiom), emitting top-k
+    (query_id, rnk, doc_id, score).
+
+    Engine-portable determinism: the idf's ln() is dropped and the raw
+    Robertson ratio (N - df + 0.5)/(df + 0.5) kept (ln is monotone, so
+    per-term ranking is order-equivalent; ln() is not correctly-rounded
+    across engines while these divisions are — the same substitution
+    tx_dsir makes), every float op is written with identical
+    parenthesization in both engines, the per-doc score is a
+    fixed-order fold over the query's term array, and scores are
+    rounded to 9dp BEFORE ranking with a doc_id tiebreak.
+
+    100-TB shape: no corpus-sized shuffle anywhere — the query set and
+    its per-term document frequencies are metadata-sized (df only ever
+    computed for query terms: the exploded corpus is semi-joined to the
+    broadcast term list before its tiny groupBy), df rides along as a
+    one-row broadcast map exactly like tx_dsir's model, candidate
+    generation is a broadcast arrays_overlap join (production would
+    swap in an inverted-index semi-join, same shape), and scoring is
+    whole-stage codegen per (doc, query) pair. The final top-k window
+    partitions by query_id — never a global window."""
+    words_col = F.split("text", " ")
+    d = docs.select(
+        "doc_id", words_col.alias("words"), F.size(words_col).alias("dl")
+    )
+    q = d.filter((F.col("doc_id") % BM25_QMOD) == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice("words", 1, BM25_QTERMS).alias("terms"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_dl"),
+    )
+    terms = q.select(F.explode("terms").alias("t")).distinct()
+    dfc = (
+        d.select(F.explode(F.array_distinct("words")).alias("t"))
+        .join(F.broadcast(terms), "t")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    dfmap = dfc.agg(
+        F.map_from_entries(F.collect_list(F.struct("t", "df"))).alias("dm")
+    )
+    # resolve each query term's df ONCE on the (tiny) query side — the
+    # per-pair hot loop must not pay a linear-scan map lookup per term
+    # (Spark maps are unsorted arrays; 8 string-key probes per candidate
+    # pair measured ~4x slower than carrying the df array along)
+    q_df = q.crossJoin(F.broadcast(dfmap)).select(
+        "query_id",
+        "terms",
+        F.transform(
+            "terms",
+            lambda t: F.coalesce(
+                F.try_element_at(F.col("dm"), t), F.lit(0).cast("long")
+            ),
+        ).alias("dfs"),
+    )
+    # the local fixture is ONE parquet split, and broadcast joins keep
+    # the probe side's partitioning — so without this the interpreted
+    # higher-order scoring fold runs on a single core (measured 8s vs
+    # ~1s at sf0.1). A 100-TB table arrives as thousands of splits; the
+    # hash repartition on doc_id stands in for that and shuffles only
+    # the small candidate corpus, never growing with the query count.
+    # the count is pinned (not left to AQE) because the partitions are
+    # byte-light but compute-heavy: AQE's size-based coalescing folds
+    # them back to 2 and serializes the scoring again
+    dp = d.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    pairs = (
+        dp.join(F.broadcast(q_df), F.arrays_overlap("words", "terms"))
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    # term frequencies materialize once per pair (zip_with lambda vars
+    # evaluate once even when the formula uses them twice)
+    tfs = F.transform(
+        "terms",
+        lambda t: F.size(F.filter(F.col("words"), lambda w: w == t)).cast(
+            "double"
+        ),
+    )
+
+    def contrib(tf, dfv):
+        idf = ((F.col("n_docs") - dfv).cast("double") + 0.5) / (
+            dfv.cast("double") + 0.5
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        return (idf * (tf * F.lit(BM25_K1 + 1.0))) / denom
+
+    from pyspark.sql.window import Window
+
+    score = F.round(
+        F.aggregate(
+            F.zip_with(tfs, F.col("dfs"), contrib),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    scored = pairs.select("query_id", "doc_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25(read_table(spark, "documents", sf_dir))
+
+
+ORACLE_TX_BM25 = f"""
+WITH d AS (SELECT doc_id, string_split(text,' ') AS words,
+                  len(string_split(text,' ')) AS dl FROM documents),
+q AS (SELECT doc_id AS query_id, words[1:{BM25_QTERMS}] AS terms
+      FROM d WHERE doc_id % {BM25_QMOD} = 0),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS tot_dl FROM d),
+terms AS (SELECT DISTINCT unnest(terms) AS t FROM q),
+dfc AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(words)) AS t FROM d) x
+        JOIN terms USING (t) GROUP BY t),
+model AS (SELECT map_from_entries(list(row(t, df))) AS dm FROM dfc),
+scored AS (
+  SELECT q.query_id, d.doc_id,
+         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(q.terms, t ->
+             (((CAST(n_docs - coalesce(map_extract(dm, t)[1], 0) AS DOUBLE) + 0.5)
+               / (CAST(coalesce(map_extract(dm, t)[1], 0) AS DOUBLE) + 0.5))
+              * (CAST(len(list_filter(d.words, w -> w = t)) AS DOUBLE) * {BM25_K1 + 1.0}))
+             / (CAST(len(list_filter(d.words, w -> w = t)) AS DOUBLE)
+                + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                   * (CAST(d.dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / n_docs)))))),
+           (a, x) -> a + x), 9) AS score
+  FROM d JOIN q ON list_has_any(d.words, q.terms)
+  CROSS JOIN model CROSS JOIN stats
+)
+SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {BM25_TOPK} ORDER BY query_id, rnk
+"""
+
+
+LM_D = 4096  # hashed bigram/context buckets of the quality LM
+LM_TARGET_MOD = 31  # doc_id % MOD == 0 -> the "clean reference" slice
+
+
+def _lm_bucket(s):
+    """Rolling-hash bucket of an arbitrary string expression (the
+    tx_fingerprint hash folded into LM_D buckets — _dsir_bucket's
+    recipe, wider table)."""
+    return (
+        F.aggregate(
+            F.split(s, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        )
+        % LM_D
+    )
+
+
+def lmscore(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020
+    score crawl text with a KenLM trained on Wikipedia and keep the
+    low-perplexity head): train a hashed bigram LM on a clean reference
+    slice (deterministic doc_id % LM_TARGET_MOD == 0, the decontam/DSIR
+    self-synthesis idiom) and score every document by its mean smoothed
+    bigram probability P(w2|w1) = (c(w1 w2)+1)/(c(w1)+LM_D) under that
+    model. High score = the doc's word transitions look like the
+    reference corpus; the keep flag is the CCNet head/tail cut, with
+    the cut set scale-freely at the minimum score of the reference
+    slice's own documents ("at least as reference-like as the least
+    reference-like reference doc") — min is an order-free exact fold,
+    unlike a mean, so the threshold is bit-stable across engines and
+    partitionings, and it tracks the corpus automatically (absolute
+    scores grow ~5x from sf0.001 to sf0.1 as the trained counts
+    outgrow the +1 smoothing).
+
+    Engine-portable determinism: perplexity's log/exp is dropped and
+    the mean raw probability kept (each probability is one IEEE
+    division of exact integer counts — correctly rounded in both
+    engines where ln()/exp() are not; the fold order over the doc's
+    bigrams is fixed; the mean is one further division, rounded to 9dp
+    — the same substitution tx_dsir/tx_bm25 make).
+
+    100-TB shape — identical to DSIR's two-pass architecture: pass 1
+    trains on the (small, curated) reference slice only — explode →
+    bucket → groupBy over at most LM_D keys each for bigrams and
+    contexts, map-side combine collapsing hub transitions — and packs
+    the model into ONE row (two maps) that pass 2 broadcasts; scoring
+    is zero-shuffle whole-stage codegen and the corpus text never
+    moves. Bucket arrays are materialized columns before the fold (the
+    tx_repetition CSE lesson)."""
+    tgt = docs.filter((F.col("doc_id") % LM_TARGET_MOD) == 0).select(
+        F.split("text", " ").alias("ws")
+    )
+    n1 = F.size("ws") - 1
+    bigram_buckets = F.zip_with(
+        F.slice("ws", 1, n1),
+        F.slice("ws", 2, n1),
+        lambda a, b: _lm_bucket(F.concat(a, F.lit(" "), b)),
+    )
+    ctx_buckets = F.transform(F.slice("ws", 1, n1), _lm_bucket)
+    m2 = (
+        tgt.select(F.explode(bigram_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "c"))
+            ).alias("m2")
+        )
+    )
+    m1 = (
+        tgt.select(F.explode(ctx_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "c"))
+            ).alias("m1")
+        )
+    )
+    model = m2.crossJoin(m1)
+    hashed = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", bigram_buckets.alias("b2"), ctx_buckets.alias("b1")
+    )
+    zero = F.lit(0).cast("long")
+    probs = F.zip_with(
+        "b2",
+        "b1",
+        lambda x, y: (
+            F.coalesce(F.try_element_at(F.col("m2"), x), zero) + 1
+        ).cast("double")
+        / (F.coalesce(F.try_element_at(F.col("m1"), y), zero) + LM_D),
+    )
+    n_big = F.size("b2").cast("long")
+    score = F.round(
+        F.aggregate(probs, F.lit(0.0), lambda a, x: a + x)
+        / n_big.cast("double"),
+        9,
+    )
+    scored = hashed.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        n_big.alias("n_bigrams"),
+        score.alias("lm_score"),
+    )
+    thr = (
+        scored.filter((F.col("doc_id") % LM_TARGET_MOD) == 0)
+        .agg(F.min("lm_score").alias("lm_t"))
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_bigrams",
+        "lm_score",
+        (F.col("lm_score") >= F.col("lm_t")).alias("lm_keep"),
+    )
+
+
+def tx_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lmscore(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+def _lm_bucket_sql(e: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({e},''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a,x) -> (a*{FP_BASE}+x) % {FP_MOD}) % {LM_D}"
+    )
+
+
+ORACLE_TX_LMSCORE = f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+t2 AS (SELECT {_lm_bucket_sql("ws[i] || ' ' || ws[i+1]")} AS b
+       FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE doc_id % {LM_TARGET_MOD} = 0),
+t1 AS (SELECT {_lm_bucket_sql("ws[i]")} AS b
+       FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE doc_id % {LM_TARGET_MOD} = 0),
+a2 AS (SELECT b, count(*) AS c FROM t2 GROUP BY b),
+a1 AS (SELECT b, count(*) AS c FROM t1 GROUP BY b),
+d2 AS (SELECT CAST(r.range AS BIGINT) AS b, coalesce(c, 0) AS c
+       FROM range(0, {LM_D}) r LEFT JOIN a2 ON a2.b = r.range),
+d1 AS (SELECT CAST(r.range AS BIGINT) AS b, coalesce(c, 0) AS c
+       FROM range(0, {LM_D}) r LEFT JOIN a1 ON a1.b = r.range),
+model AS (SELECT (SELECT list(c ORDER BY b) FROM d2) AS l2,
+                 (SELECT list(c ORDER BY b) FROM d1) AS l1),
+scored AS (
+  SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_bigrams,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(ws)), i ->
+             CAST(l2[CAST({_lm_bucket_sql("ws[i] || ' ' || ws[i+1]")} AS INT) + 1] + 1 AS DOUBLE)
+             / (l1[CAST({_lm_bucket_sql("ws[i]")} AS INT) + 1] + {LM_D}))),
+           (a, x) -> a + x) / CAST(len(ws) - 1 AS DOUBLE), 9) AS lm_score
+  FROM w, model
+),
+thr AS (SELECT min(lm_score) AS lm_t FROM scored
+        WHERE doc_id % {LM_TARGET_MOD} = 0)
+SELECT doc_id, n_bigrams, lm_score, lm_score >= lm_t AS lm_keep
+FROM scored, thr ORDER BY doc_id
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # The five tx_* operators melt into ONE registered query (tx_stats) via
 # the same machinery as relational's compounds — every cell of every
@@ -1075,6 +1397,13 @@ _TX_CELLS = {
         [("target_mass", "n"), ("raw_mass", "n"), ("dsir_score", "n"),
          ("dsir_keep", "s")],
     ),
+    "tx_bm25": (
+        None, ["query_id", "rnk"], [("doc_id", "n"), ("score", "n")]
+    ),
+    "tx_lmscore": (
+        None, ["doc_id"],
+        [("n_bigrams", "n"), ("lm_score", "n"), ("lm_keep", "s")],
+    ),
 }
 
 
@@ -1110,6 +1439,8 @@ QUERIES = {
     "tx_classify": tx_classify,
     "tx_winnow": tx_winnow,
     "tx_dsir": tx_dsir,
+    "tx_bm25": tx_bm25,
+    "tx_lmscore": tx_lmscore,
 }
 
 ORACLES = {
@@ -1129,6 +1460,8 @@ ORACLES = {
     "tx_classify": ORACLE_TX_CLASSIFY,
     "tx_winnow": ORACLE_TX_WINNOW,
     "tx_dsir": ORACLE_TX_DSIR,
+    "tx_bm25": ORACLE_TX_BM25,
+    "tx_lmscore": ORACLE_TX_LMSCORE,
 }
 
 

@@ -1560,3 +1560,152 @@ def test_semdedup_cosines_exact_and_clones_caught(spark, sf001):
             n_clone_hits += 1
     n_planted = sum(1 for vid in vecs if vid >= 100000)
     assert n_clone_hits >= n_planted // 2, (n_clone_hits, n_planted)
+
+
+def test_bm25_matches_independent_python(spark):
+    """BM25 vs a from-scratch pure-Python implementation of the same
+    scoring function (log-free Robertson idf ratio, k1/b saturation,
+    fixed fold order) on a micro-corpus where tf saturation and length
+    normalization both matter: the engine's top-k per query must match
+    the reference ranking and scores exactly."""
+    from kgforge.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QMOD,
+        BM25_QTERMS,
+        bm25,
+    )
+
+    rows = [
+        (0, "spark shuffle join window spark spark"),
+        (1, "spark shuffle"),
+        (2, "join window join window join window join window join window"),
+        (3, "unrelated words entirely different topic here"),
+        (BM25_QMOD, "window join broadcast exchange"),
+    ]
+    docs = {i: t.split(" ") for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    queries = {
+        i: w[:BM25_QTERMS] for i, w in docs.items() if i % BM25_QMOD == 0
+    }
+    dfs = {}
+    for w in docs.values():
+        for t in set(w):
+            dfs[t] = dfs.get(t, 0) + 1
+
+    def score(terms, words):
+        s = 0.0
+        for t in terms:
+            df = dfs.get(t, 0)
+            idf = ((n - df) + 0.5) / (df + 0.5)
+            tf = float(words.count(t))
+            denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (len(words) / avgdl))
+            s += (idf * (tf * (BM25_K1 + 1.0))) / denom
+        return round(s, 9)
+
+    expect = {}
+    for qid, terms in queries.items():
+        cands = [
+            (score(terms, w), i)
+            for i, w in docs.items()
+            if set(w) & set(terms)
+        ]
+        ranked = sorted(cands, key=lambda sc: (-sc[0], sc[1]))
+        expect[qid] = [(r + 1, i, s) for r, (s, i) in enumerate(ranked)]
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in bm25(df).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["doc_id"], r["score"])
+        )
+    assert set(got) == set(expect)
+    for qid in expect:
+        assert got[qid] == expect[qid], (qid, got[qid], expect[qid])
+
+
+def test_lmscore_matches_independent_python_model(spark):
+    """CCNet-style LM quality scoring vs a from-scratch pure-Python
+    reimplementation (rolling-hash bucketing, bigram/context counts
+    trained on the reference slice, +1/LM_D smoothing, fixed-order mean)
+    on a micro-corpus. A raw doc identical to the reference slice must
+    tie its score and be kept; a gibberish doc with unseen transitions
+    must fall below the reference-minimum threshold and be cut."""
+    from kgforge.operators.textstats import (
+        FP_BASE,
+        FP_MOD,
+        LM_D,
+        LM_TARGET_MOD,
+        lmscore,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (LM_TARGET_MOD, "the cat sat on the mat again"),
+        (1, "the cat sat on the mat"),
+        (2, "zz qq xx ww vv uu"),
+    ]
+
+    def bucket(s):
+        h = 0
+        for c in s:
+            h = (h * FP_BASE + ord(c)) % FP_MOD
+        return h % LM_D
+
+    c2, c1 = {}, {}
+    for doc_id, text in rows:
+        if doc_id % LM_TARGET_MOD != 0:
+            continue
+        ws = text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c2[bucket(a + " " + b)] = c2.get(bucket(a + " " + b), 0) + 1
+            c1[bucket(a)] = c1.get(bucket(a), 0) + 1
+
+    def score(text):
+        ws = text.split(" ")
+        probs = [
+            (c2.get(bucket(a + " " + b), 0) + 1) / (c1.get(bucket(a), 0) + LM_D)
+            for a, b in zip(ws, ws[1:])
+        ]
+        return len(probs), round(sum(probs) / len(probs), 9)
+
+    expect = {doc_id: score(text) for doc_id, text in rows}
+    thr = min(s for d, (_, s) in expect.items() if d % LM_TARGET_MOD == 0)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lmscore(df).collect()}
+    assert set(got) == set(expect)
+    for doc_id, (n_big, s) in expect.items():
+        r = got[doc_id]
+        assert r["n_bigrams"] == n_big, doc_id
+        assert r["lm_score"] == pytest.approx(s, abs=1e-12), doc_id
+        assert r["lm_keep"] is (s >= thr), doc_id
+    # the semantics the operator exists for: reference-like transitions
+    # keep, gibberish transitions cut
+    assert got[1]["lm_keep"] is True and got[2]["lm_keep"] is False
+
+
+def test_line_dedup_removes_planted_boilerplate(spark):
+    """Cross-document line dedup on hand-built line arrays: a line
+    planted in >= t docs is removed everywhere (the kept_md5 proves the
+    actual residual content, not just counts), organically unique lines
+    survive, and a boilerplate-free doc passes through untouched."""
+    import hashlib
+
+    from kgforge.operators.dedup import line_dedup
+
+    rows = [(i, ["COOKIE BANNER", f"unique body {i}"]) for i in range(6)]
+    rows.append((100, ["standalone content only"]))
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {r["doc_id"]: r for r in line_dedup(df, t=5).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    for i in range(6):
+        r = got[i]
+        assert (r["n_lines"], r["n_boiler"]) == (2, 1), i
+        assert r["boiler_frac"] == pytest.approx(0.5)
+        assert r["kept_md5"] == md5(f"unique body {i}"), i
+    r = got[100]
+    assert (r["n_lines"], r["n_boiler"]) == (1, 0)
+    assert r["kept_md5"] == md5("standalone content only")

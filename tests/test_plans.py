@@ -315,3 +315,35 @@ def test_semdedup_is_cell_blocked_no_cartesian(spark, sf001):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_no_corpus_shuffle_broadcast_candidates(spark, sf001):
+    """BM25's corpus side must never hit a sort-merge join or cartesian:
+    the query set, df map, and corpus stats ride in as broadcasts (the
+    arrays_overlap candidate join is a broadcast nested loop against the
+    metadata-sized query list), df aggregation only ever groups the
+    semi-joined query terms, and scoring stays JVM-side."""
+    from kgforge.operators.textstats import tx_bm25
+
+    plan = plan_of(tx_bm25(spark, sf001))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lmscore_and_dd_lines_model_rides_broadcast(spark, sf001):
+    """The LM scorer and the line-dedup removal pass must both ship
+    their trained model / boiler set as a one-row broadcast (the DSIR
+    idiom): no sort-merge join, no cartesian, no Python eval — the
+    corpus text never shuffles for scoring/removal, only hashed
+    longs/md5s cross the wire during training."""
+    from kgforge.operators.dedup import dd_lines
+    from kgforge.operators.textstats import tx_lmscore
+
+    for q in (tx_lmscore, dd_lines):
+        plan = plan_of(q(spark, sf001))
+        assert "SortMergeJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
