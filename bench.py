@@ -56,6 +56,8 @@ HEADLINE = [
     "tx_dsir",
     "tx_bm25",
     "tx_lmscore",
+    "tx_diversity",
+    "tx_c4filter",
     "dd_lines",
     "rel_scd2",
     "mm_meta",

@@ -1256,7 +1256,15 @@ def lmscore(docs: DataFrame) -> DataFrame:
         )
     )
     model = m2.crossJoin(m1)
-    hashed = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+    # same lesson as bm25's pinned repartition: broadcast joins keep the
+    # probe side's partitioning, and the local fixture is ONE parquet
+    # split — without this the interpreted per-bigram bucket fold runs
+    # on a single core (measured 6.4s vs ~1s at sf0.1). A 100-TB table
+    # arrives as thousands of splits; this stands in for that and costs
+    # one shuffle of (doc_id, text)-sized rows.
+    hashed = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id", bigram_buckets.alias("b2"), ctx_buckets.alias("b1")
     )
     zero = F.lit(0).cast("long")
@@ -1333,6 +1341,195 @@ FROM scored, thr ORDER BY doc_id
 """
 
 
+DIV_TTR_MIN = 0.5   # keep: type-token ratio at least this
+DIV_TOP_MAX = 0.12  # keep: most-common word at most this fraction
+
+
+def diversity(docs: DataFrame) -> DataFrame:
+    """Lexical-diversity battery (the Gopher/MassiveText repetition-
+    adjacent quality signals tx_repetition does NOT cover: vocabulary
+    concentration rather than duplication): per doc the type-token
+    ratio, the fraction of the most common word, the hapax fraction
+    (types occurring once), and the Simpson concentration index
+    sum_w (c_w/n)^2 — every value an exact rational of integer counts
+    (or a fixed-order fold of IEEE divisions for Simpson), so the
+    DuckDB oracle matches bit-for-bit with no log/entropy surrogate
+    needed. The keep flag is the Gopher-style cut: enough distinct
+    vocabulary AND no single word dominating.
+
+    100-TB shape: zero shuffle — per-doc array arithmetic entirely
+    JVM-side; the per-doc type scan is O(types * words) on in-row
+    arrays (bounded by doc length, never by corpus size). The words
+    and counts arrays are materialized columns before reuse (the
+    tx_repetition CSE lesson: an unmaterialized split re-evaluates
+    per lambda slot)."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    d = d.select("doc_id", "ws", F.array_sort(F.array_distinct("ws")).alias("types"))
+    d = d.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size("types").alias("n_types"),
+        F.transform(
+            "types",
+            lambda t: F.size(F.filter(F.col("ws"), lambda w: w == t)),
+        ).alias("counts"),
+    )
+    n = F.col("n_words").cast("double")
+    ttr = F.round(F.col("n_types").cast("double") / n, 9)
+    top_frac = F.round(F.array_max("counts").cast("double") / n, 9)
+    hapax_frac = F.round(
+        F.size(F.filter("counts", lambda c: c == 1)).cast("double")
+        / F.col("n_types").cast("double"),
+        9,
+    )
+    simpson = F.round(
+        F.aggregate(
+            "counts",
+            F.lit(0.0),
+            lambda acc, c: acc + (c.cast("double") / n) * (c.cast("double") / n),
+        ),
+        9,
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_types").cast("long").alias("n_types"),
+        ttr.alias("ttr"),
+        top_frac.alias("top_frac"),
+        hapax_frac.alias("hapax_frac"),
+        simpson.alias("simpson"),
+        ((ttr >= DIV_TTR_MIN) & (top_frac <= DIV_TOP_MAX)).alias("div_keep"),
+    )
+
+
+def tx_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return diversity(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+ORACLE_TX_DIVERSITY = f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+t AS (SELECT doc_id, ws, list_sort(list_distinct(ws)) AS types FROM w),
+c AS (SELECT doc_id,
+             len(ws) AS n_words, len(types) AS n_types,
+             list_transform(types, t -> len(list_filter(ws, x -> x = t))) AS counts
+      FROM t)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE), 9) AS ttr,
+       round(CAST(list_max(counts) AS DOUBLE) / CAST(n_words AS DOUBLE), 9) AS top_frac,
+       round(CAST(len(list_filter(counts, x -> x = 1)) AS DOUBLE)
+             / CAST(n_types AS DOUBLE), 9) AS hapax_frac,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(counts, x ->
+                 (CAST(x AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 * (CAST(x AS DOUBLE) / CAST(n_words AS DOUBLE)))),
+             (a, v) -> a + v), 9) AS simpson,
+       (round(CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE), 9) >= {DIV_TTR_MIN}
+        AND round(CAST(list_max(counts) AS DOUBLE) / CAST(n_words AS DOUBLE), 9)
+            <= {DIV_TOP_MAX}) AS div_keep
+FROM c ORDER BY doc_id
+"""
+
+
+C4_LINE_WORDS = 5    # words per synthesized page line
+C4_MIN_SENT = 5      # doc keep: at least this many retained sentences
+C4_LOREM_MOD = 37    # doc_id % MOD == 0 -> planted 'lorem ipsum' line
+C4_BRACE_MOD = 41    # doc_id % MOD == 0 -> planted code-brace line
+C4_SHORT_MOD = 7     # doc_id % MOD == 0 -> planted too-short line
+
+
+def c4_filter(docs: DataFrame) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020: retain lines ending
+    in terminal punctuation with >= 3 words; drop any page containing
+    'lorem ipsum' or a code brace; drop pages with fewer than
+    C4_MIN_SENT retained sentences) over deterministically synthesized
+    page lines — the dd_lines/dd_url idiom, so every rule fires at
+    every sf and the check can never pass vacuously: the body splits
+    into C4_LINE_WORDS-word lines, line i of doc d gets terminal
+    punctuation iff (d + i) % 3 != 0, and docs at the planted moduli
+    carry a 'lorem ipsum' placeholder line, a '{{'-brace code line, or
+    a too-short line. Emits per-doc rule counts, the three rule flags,
+    the final keep, and the md5 of the retained text (the residual
+    content, not just counts).
+
+    100-TB shape: zero shuffle — synthesis, line filtering, and
+    rule evaluation are all in-row array ops, JVM-side."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(C4_LINE_WORDS))).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice("ws", i * C4_LINE_WORDS + 1, C4_LINE_WORDS), " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    planted = lambda mod, line: F.when(  # noqa: E731
+        F.col("doc_id") % mod == 0, F.array(F.lit(line))
+    ).otherwise(empty)
+    lines = F.concat(
+        body,
+        planted(C4_SHORT_MOD, "ok."),
+        planted(C4_LOREM_MOD, "lorem ipsum dolor sit amet."),
+        planted(C4_BRACE_MOD, "function handler() { return 0 }."),
+    )
+    d = d.select("doc_id", lines.alias("lines"))
+    is_sentence = lambda l: (  # noqa: E731
+        (F.substring(l, -1, 1) == ".") & (F.size(F.split(l, " ")) >= 3)
+    )
+    kept = F.filter("lines", is_sentence)
+    has_lorem = F.exists("lines", lambda l: l.contains("lorem ipsum"))
+    has_brace = F.exists("lines", lambda l: l.contains("{"))
+    n_kept = F.size(kept).cast("long")
+    return d.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        n_kept.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace & (n_kept >= C4_MIN_SENT)).alias("c4_keep"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
+    )
+
+
+def tx_c4filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_filter(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+ORACLE_TX_C4FILTER = f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+ls AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(ws)/{C4_LINE_WORDS}.0) AS BIGINT)),
+           i -> array_to_string(ws[i*{C4_LINE_WORDS}+1 : i*{C4_LINE_WORDS}+{C4_LINE_WORDS}], ' ')
+                || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
+         || CASE WHEN doc_id % {C4_SHORT_MOD} = 0 THEN ['ok.'] ELSE [] END
+         || CASE WHEN doc_id % {C4_LOREM_MOD} = 0
+                 THEN ['lorem ipsum dolor sit amet.'] ELSE [] END
+         || CASE WHEN doc_id % {C4_BRACE_MOD} = 0
+                 THEN ['function handler() {{ return 0 }}.'] ELSE [] END AS lines
+  FROM w
+),
+r AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l -> right(l, 1) = '.'
+                     AND len(string_split(l, ' ')) >= 3) AS kept,
+         len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0 AS has_lorem,
+         len(list_filter(lines, l -> contains(l, '{{'))) > 0 AS has_brace
+  FROM ls
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_sentences,
+       has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace
+        AND len(kept) >= {C4_MIN_SENT}) AS c4_keep,
+       md5(array_to_string(kept, chr(10))) AS clean_md5
+FROM r ORDER BY doc_id
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # The five tx_* operators melt into ONE registered query (tx_stats) via
 # the same machinery as relational's compounds — every cell of every
@@ -1404,6 +1601,16 @@ _TX_CELLS = {
         None, ["doc_id"],
         [("n_bigrams", "n"), ("lm_score", "n"), ("lm_keep", "s")],
     ),
+    "tx_diversity": (
+        None, ["doc_id"],
+        [("n_words", "n"), ("n_types", "n"), ("ttr", "n"), ("top_frac", "n"),
+         ("hapax_frac", "n"), ("simpson", "n"), ("div_keep", "s")],
+    ),
+    "tx_c4filter": (
+        None, ["doc_id"],
+        [("n_lines", "n"), ("n_sentences", "n"), ("has_lorem", "s"),
+         ("has_brace", "s"), ("c4_keep", "s"), ("clean_md5", "s")],
+    ),
 }
 
 
@@ -1441,6 +1648,8 @@ QUERIES = {
     "tx_dsir": tx_dsir,
     "tx_bm25": tx_bm25,
     "tx_lmscore": tx_lmscore,
+    "tx_diversity": tx_diversity,
+    "tx_c4filter": tx_c4filter,
 }
 
 ORACLES = {
@@ -1462,6 +1671,8 @@ ORACLES = {
     "tx_dsir": ORACLE_TX_DSIR,
     "tx_bm25": ORACLE_TX_BM25,
     "tx_lmscore": ORACLE_TX_LMSCORE,
+    "tx_diversity": ORACLE_TX_DIVERSITY,
+    "tx_c4filter": ORACLE_TX_C4FILTER,
 }
 
 

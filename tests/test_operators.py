@@ -1709,3 +1709,111 @@ def test_line_dedup_removes_planted_boilerplate(spark):
     r = got[100]
     assert (r["n_lines"], r["n_boiler"]) == (1, 0)
     assert r["kept_md5"] == md5("standalone content only")
+
+
+def test_diversity_matches_independent_python(spark):
+    """Lexical-diversity battery vs a from-scratch pure-Python
+    computation (type-token ratio, top-word fraction, hapax fraction,
+    Simpson concentration with the same sorted-type fold order) on a
+    hand-built micro-corpus spanning the extremes: an all-distinct doc
+    (ttr 1, simpson -> 1/n) and a one-word-dominated doc."""
+    from kgforge.operators.textstats import (
+        DIV_TOP_MAX,
+        DIV_TTR_MIN,
+        diversity,
+    )
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "x x x x x x x x x y"),
+        (2, "u v u v w w z q q q"),
+    ]
+
+    def expect(text):
+        ws = text.split(" ")
+        n = len(ws)
+        types = sorted(set(ws))
+        counts = [ws.count(t) for t in types]
+        ttr = round(len(types) / n, 9)
+        top = round(max(counts) / n, 9)
+        hapax = round(sum(1 for c in counts if c == 1) / len(types), 9)
+        simpson = round(sum((c / n) * (c / n) for c in counts), 9)
+        return (
+            n, len(types), ttr, top, hapax, simpson,
+            ttr >= DIV_TTR_MIN and top <= DIV_TOP_MAX,
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in diversity(df).collect()}
+    for doc_id, text in rows:
+        e = expect(text)
+        r = got[doc_id]
+        assert (
+            r["n_words"], r["n_types"], r["ttr"], r["top_frac"],
+            r["hapax_frac"], r["simpson"], r["div_keep"],
+        ) == e, (doc_id, e, tuple(r))
+    assert got[0]["div_keep"] is True and got[1]["div_keep"] is False
+
+
+def test_c4_filter_rules_fire(spark):
+    """The C4 battery on planted doc_ids: the lorem modulus drops an
+    otherwise-clean doc, the brace modulus likewise, the short planted
+    line never counts as a sentence, and the retained-text md5 equals
+    the independently assembled expectation."""
+    import hashlib
+
+    from kgforge.operators.textstats import (
+        C4_BRACE_MOD,
+        C4_LINE_WORDS,
+        C4_LOREM_MOD,
+        C4_MIN_SENT,
+        C4_SHORT_MOD,
+        c4_filter,
+    )
+
+    text = " ".join(f"w{i}" for i in range(40))  # 8 body lines
+    ids = [1, C4_SHORT_MOD, C4_LOREM_MOD, C4_BRACE_MOD, 3]
+    df = spark.createDataFrame(
+        [(i, text) for i in ids], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in c4_filter(df).collect()}
+
+    def expect_lines(d):
+        ws = text.split(" ")
+        lines = []
+        for i in range(0, len(ws), C4_LINE_WORDS):
+            chunk = " ".join(ws[i : i + C4_LINE_WORDS])
+            lines.append(chunk + ("." if (d + i // C4_LINE_WORDS) % 3 else ""))
+        if d % C4_SHORT_MOD == 0:
+            lines.append("ok.")
+        if d % C4_LOREM_MOD == 0:
+            lines.append("lorem ipsum dolor sit amet.")
+        if d % C4_BRACE_MOD == 0:
+            lines.append("function handler() { return 0 }.")
+        return lines
+
+    for d in ids:
+        lines = expect_lines(d)
+        kept = [
+            l for l in lines
+            if l.endswith(".") and len(l.split(" ")) >= 3
+        ]
+        r = got[d]
+        assert r["n_lines"] == len(lines), d
+        assert r["n_sentences"] == len(kept), d
+        assert r["clean_md5"] == hashlib.md5(
+            "\n".join(kept).encode()
+        ).hexdigest(), d
+        keep = (
+            not any("lorem ipsum" in l for l in lines)
+            and not any("{" in l for l in lines)
+            and len(kept) >= C4_MIN_SENT
+        )
+        assert r["c4_keep"] is keep, d
+    # the rules actually fire: planted lorem/brace docs are dropped,
+    # a clean doc with enough sentences survives
+    assert got[C4_LOREM_MOD]["has_lorem"] is True
+    assert got[C4_BRACE_MOD]["has_brace"] is True
+    assert got[C4_LOREM_MOD]["c4_keep"] is False
+    assert got[C4_BRACE_MOD]["c4_keep"] is False
+    assert got[1]["c4_keep"] is True

@@ -347,3 +347,16 @@ def test_lmscore_and_dd_lines_model_rides_broadcast(spark, sf001):
         assert "BroadcastNestedLoopJoin" in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
         assert "ArrowEvalPython" not in plan, q.__name__
+
+
+def test_diversity_and_c4_are_zero_shuffle_codegen(spark, sf001):
+    """Diversity stats and the C4 battery are per-doc array arithmetic:
+    no Exchange, no join, no Python eval anywhere in the plan."""
+    from kgforge.operators.textstats import tx_c4filter, tx_diversity
+
+    for q in (tx_diversity, tx_c4filter):
+        plan = plan_of(q(spark, sf001).limit(10))
+        assert "Exchange" not in plan.replace("Exchange rangepartitioning", ""), q.__name__
+        assert "Join" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
