@@ -802,6 +802,36 @@ ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both grouping dimensions (all four grouping sets in
+    one pass) — the cross-classified reporting twin of rel_rollup's
+    hierarchy. Spark computes CUBE with a single expand+aggregate, so
+    the fact table is scanned once however many grouping sets the
+    report needs — at 100 TB that single-scan property is the whole
+    point vs. UNION ALL of per-set GROUP BYs."""
+    o = read_table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL without dedup — the concept-path seed-list / fact-union
     pattern (Oracle/PCORNetLoader_ora.sql:1674-1688)."""
@@ -1412,6 +1442,14 @@ _AGG_STATS_CELLS = {
         None, ["r_name", "n_name"],
         [("n_customers", "n"), ("total_balance", "n")],
     ),
+    # CUBE can NULL either key, but the two domains are disjoint
+    # (status codes vs '1-URGENT'-style priorities), so the melted key
+    # stays collision-free ('' = grand total, 'F' = status subtotal,
+    # '1-URGENT' = priority subtotal)
+    "rel_cube": (
+        None, ["o_orderstatus", "o_orderpriority"],
+        [("n_orders", "n"), ("total_price", "n")],
+    ),
     "rel_breakdown_pct": (None, ["o_orderstatus"], [("cnt", "n"), ("pct", "n")]),
     "rel_reconciliation_counts": (
         None, ["tbl"], [("n_rows", "n"), ("n_subjects", "n")]
@@ -1497,6 +1535,7 @@ QUERIES = {
     "rel_merge_upsert": q_merge_upsert,
     "rel_salted_stats": q_salted_stats,
     "rel_rollup": q_rollup,
+    "rel_cube": q_cube,
     "rel_unit_convert": q_unit_convert,
     "rel_format_lpad": q_format_lpad,
     "rel_path_slice": q_path_slice,
@@ -1538,6 +1577,7 @@ ORACLES = {
     "rel_merge_upsert": ORACLE_MERGE_UPSERT,
     "rel_salted_stats": ORACLE_SALTED_STATS,
     "rel_rollup": ORACLE_ROLLUP,
+    "rel_cube": ORACLE_CUBE,
     "rel_unit_convert": ORACLE_UNIT_CONVERT,
     "rel_format_lpad": ORACLE_FORMAT_LPAD,
     "rel_path_slice": ORACLE_PATH_SLICE,
