@@ -784,8 +784,163 @@ SELECT doc_id,
        CAST(len(lines) - len(kl) AS BIGINT) AS n_boiler,
        round(CAST(len(lines) - len(kl) AS DOUBLE) / CAST(len(lines) AS DOUBLE), 9)
          AS boiler_frac,
-       md5(array_to_string(kl, chr(10))) AS kept_md5
+       md5(coalesce(array_to_string(kl, chr(10)), '')) AS kept_md5
 FROM kept ORDER BY doc_id
+"""
+
+
+DD_SUB_L = 6  # duplicated-substring gram length, in words
+
+
+def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": find
+    every substring that occurs more than once in the corpus and cut
+    the duplicated spans — the paper uses a suffix array over bytes;
+    the distributed equivalent is corpus-wide duplicated L-gram
+    detection with per-doc maximal-span merging, word-level here).
+    `docs` must carry a `ws` words-array column; emits per doc the
+    gram/dup/span counts, the covered-word fraction, and the md5 of
+    the text with covered spans removed (residual content, not just
+    counts).
+
+    100-TB shape: gram text never shuffles — each L-gram is md5-hashed
+    map-side and only the 16-byte hash crosses the wire for the
+    frequency count; the duplicated-hash set comes back as ONE
+    broadcast row of sorted hashes (dd_lines' discipline — at sf0.1 it
+    is ~100-3k entries, the head of the gram-frequency distribution),
+    and span detection + merging + removal are zero-shuffle in-row
+    array ops: covered word indices are the union of [p, p+L) over
+    duplicated positions, spans are counted at covered indices whose
+    predecessor is not covered (equivalent to merging overlapping
+    intervals), kept words are the uncovered indices. If the dup set
+    outgrew a broadcast the same plan degrades to a hash-only shuffle
+    semi-join — the text side still never moves. The scoring pass is
+    pinned-repartitioned by doc_id (the bm25/lmscore lesson: broadcast
+    joins keep the probe side's single-split partitioning at test
+    scale)."""
+    npos = F.size("ws") - L + 1
+    gh = F.transform(
+        F.sequence(F.lit(0), npos - 1),
+        lambda i: F.md5(F.array_join(F.slice("ws", i + 1, L), " ")),
+    )
+    d = docs.select("doc_id", "ws", gh.alias("gh"))
+    dup = (
+        d.select(F.explode("gh").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    brow = dup.agg(
+        F.coalesce(
+            F.sort_array(F.collect_list("h")), F.array().cast("array<string>")
+        ).alias("bh")
+    )
+    dp = d.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    ).crossJoin(F.broadcast(brow))
+    dup_pos = F.filter(
+        F.sequence(F.lit(0), F.size("gh") - 1),
+        lambda i: F.array_contains(F.col("bh"), F.element_at("gh", i + 1)),
+    )
+    dp = dp.select("doc_id", "ws", dup_pos.alias("dpos"))
+    covered = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform("dpos", lambda p: F.sequence(p, p + L - 1))
+            )
+        )
+    )
+    dp = dp.select("doc_id", "ws", F.size("dpos").alias("n_dup_grams"), covered.alias("cov"))
+    n_words = F.size("ws")
+    n_cov = F.size("cov")
+    n_spans = F.size(
+        F.filter("cov", lambda c: ~F.array_contains(F.col("cov"), c - 1))
+    )
+    kept = F.transform(
+        F.filter(
+            F.sequence(F.lit(0), n_words - 1),
+            lambda i: ~F.array_contains(F.col("cov"), i),
+        ),
+        lambda i: F.element_at("ws", i + 1),
+    )
+    return dp.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        (n_words - L + 1).cast("long").alias("n_grams"),
+        F.col("n_dup_grams").cast("long"),
+        n_cov.cast("long").alias("n_covered"),
+        n_spans.cast("long").alias("n_spans"),
+        F.round(n_cov.cast("double") / n_words.cast("double"), 9).alias("dup_frac"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )
+
+
+def dd_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal over pages that share a deterministic
+    per-source syndication preamble (the dd_url/dd_lines synthesis
+    idiom: every doc from a source opens with the same 9-word wire
+    header, so cross-document duplicated spans exist at every sf and
+    the check can never pass vacuously; the body contributes organic
+    duplicated grams at larger sf)."""
+    d = read_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.split(
+                F.concat(
+                    F.lit("shared preamble from "),
+                    F.col("source"),
+                    F.lit(" syndicated wire copy header today"),
+                ),
+                " ",
+            ),
+            F.split("text", " "),
+        ).alias("ws"),
+    )
+    return substr_dedup(d).orderBy("doc_id")
+
+
+ORACLE_DD_SUBSTR = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_concat(
+           string_split('shared preamble from ' || source
+                        || ' syndicated wire copy header today', ' '),
+           string_split(text, ' ')) AS ws
+  FROM documents
+),
+g AS (SELECT doc_id, ws,
+             list_transform(range(0, len(ws) - {DD_SUB_L} + 1),
+               i -> md5(array_to_string(ws[i+1 : i+{DD_SUB_L}], ' '))) AS gh
+      FROM w),
+dup AS (SELECT h FROM (SELECT unnest(gh) AS h FROM g) x
+        GROUP BY h HAVING count(*) > 1),
+brow AS (SELECT coalesce(list(h ORDER BY h), []) AS bh FROM dup),
+marked AS (
+  SELECT doc_id, ws,
+         list_filter(range(0, len(gh)),
+                     i -> list_contains(bh, gh[i+1])) AS dpos
+  FROM g, brow
+),
+cov AS (
+  SELECT doc_id, ws, len(dpos) AS n_dup_grams,
+         list_sort(list_distinct(flatten(
+           list_transform(dpos, p -> range(p, p + {DD_SUB_L}))))) AS cv
+  FROM marked
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ws) - {DD_SUB_L} + 1 AS BIGINT) AS n_grams,
+       CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+       CAST(len(cv) AS BIGINT) AS n_covered,
+       CAST(len(list_filter(cv, c -> NOT list_contains(cv, c - 1))) AS BIGINT)
+         AS n_spans,
+       round(CAST(len(cv) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 9) AS dup_frac,
+       md5(coalesce(array_to_string(
+         list_transform(
+           list_filter(range(0, len(ws)), i -> NOT list_contains(cv, i)),
+           i -> ws[i+1]), ' '), '')) AS clean_md5
+FROM cov ORDER BY doc_id
 """
 
 
@@ -812,6 +967,12 @@ _DD_CELLS = {
         None, ["doc_id"],
         [("n_lines", "n"), ("n_boiler", "n"), ("boiler_frac", "n"),
          ("kept_md5", "s")],
+    ),
+    "dd_substr": (
+        None, ["doc_id"],
+        [("n_words", "n"), ("n_grams", "n"), ("n_dup_grams", "n"),
+         ("n_covered", "n"), ("n_spans", "n"), ("dup_frac", "n"),
+         ("clean_md5", "s")],
     ),
     "dd_semdedup": (
         None, ["dup_id"],
@@ -857,6 +1018,7 @@ QUERIES = {
     "dd_url": dd_url,
     "dd_bloom": dd_bloom,
     "dd_lines": dd_lines,
+    "dd_substr": dd_substr,
 }
 
 # SemDeDup lives in similarity.py (it shares the embedding plumbing and
@@ -881,6 +1043,7 @@ ORACLES = {
     "dd_url": ORACLE_DD_URL,
     "dd_bloom": ORACLE_DD_BLOOM,
     "dd_lines": ORACLE_DD_LINES,
+    "dd_substr": ORACLE_DD_SUBSTR,
     "dd_semdedup": ORACLE_DD_SEMDEDUP,
 }
 

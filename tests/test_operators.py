@@ -1817,3 +1817,69 @@ def test_c4_filter_rules_fire(spark):
     assert got[C4_LOREM_MOD]["c4_keep"] is False
     assert got[C4_BRACE_MOD]["c4_keep"] is False
     assert got[1]["c4_keep"] is True
+
+
+def test_substr_dedup_matches_independent_python(spark):
+    """ExactSubstr-style span removal vs a from-scratch pure-Python
+    reimplementation (corpus-wide duplicated L-gram detection, interval
+    union, span count, residual text) on a micro-corpus with a planted
+    shared phrase, an exact clone pair, and a fully-unique doc."""
+    import hashlib
+
+    from kgforge.operators.dedup import DD_SUB_L, substr_dedup
+
+    L = DD_SUB_L
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, f"alpha beta {shared} gamma delta epsilon zeta eta theta"),
+        (1, f"one two three four five {shared} six seven eight nine"),
+        (2, "clone text body repeated verbatim across the corpus pair"),
+        (3, "clone text body repeated verbatim across the corpus pair"),
+        (4, "entirely unique words nothing here repeats anywhere at all"),
+    ]
+    docs = {i: t.split(" ") for i, t in rows}
+
+    from collections import Counter
+
+    grams = Counter()
+    for ws in docs.values():
+        for i in range(len(ws) - L + 1):
+            grams[" ".join(ws[i : i + L])] += 1
+
+    def expect(ws):
+        npos = len(ws) - L + 1
+        dpos = [
+            i for i in range(npos) if grams[" ".join(ws[i : i + L])] > 1
+        ]
+        cov = sorted({j for p in dpos for j in range(p, p + L)})
+        covset = set(cov)
+        n_spans = sum(1 for c in cov if c - 1 not in covset)
+        kept = [w for i, w in enumerate(ws) if i not in covset]
+        return (
+            len(ws), npos, len(dpos), len(cov), n_spans,
+            round(len(cov) / len(ws), 9),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(
+        [(i, t.split(" ")) for i, t in rows],
+        "doc_id long, ws array<string>",
+    )
+    got = {r["doc_id"]: r for r in substr_dedup(df).collect()}
+    for doc_id, ws in docs.items():
+        e = expect(ws)
+        r = got[doc_id]
+        assert (
+            r["n_words"], r["n_grams"], r["n_dup_grams"], r["n_covered"],
+            r["n_spans"], r["dup_frac"], r["clean_md5"],
+        ) == e, (doc_id, e, tuple(r))
+    # the semantics the operator exists for: the shared phrase is cut
+    # from both carriers (one span each), the clone pair scrubs to
+    # nothing, the unique doc is untouched
+    assert got[0]["n_spans"] == 1 and got[1]["n_spans"] == 1
+    assert got[0]["n_covered"] >= len(shared.split(" "))
+    assert got[2]["dup_frac"] == 1.0 and got[3]["dup_frac"] == 1.0
+    assert got[4]["n_dup_grams"] == 0
+    assert got[4]["clean_md5"] == hashlib.md5(
+        " ".join(docs[4]).encode()
+    ).hexdigest()

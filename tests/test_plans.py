@@ -360,3 +360,17 @@ def test_diversity_and_c4_are_zero_shuffle_codegen(spark, sf001):
         assert "Join" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
         assert "ArrowEvalPython" not in plan, q.__name__
+
+
+def test_substr_dedup_dup_set_rides_broadcast(spark, sf001):
+    """ExactSubstr span removal: the duplicated-hash set returns as a
+    one-row broadcast (dd_lines' discipline) — no sort-merge join, no
+    cartesian, no Python eval; only 16-byte gram hashes shuffle for
+    the frequency count."""
+    from kgforge.operators.dedup import dd_substr
+
+    plan = plan_of(dd_substr(spark, sf001))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
