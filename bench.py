@@ -59,6 +59,7 @@ HEADLINE = [
     "tx_diversity",
     "tx_c4filter",
     "dd_lines",
+    "dd_substr",
     "rel_scd2",
     "mm_meta",
     "mm_frames",

@@ -804,46 +804,59 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
     the text with covered spans removed (residual content, not just
     counts).
 
-    100-TB shape: gram text never shuffles — each L-gram is md5-hashed
-    map-side and only the 16-byte hash crosses the wire for the
-    frequency count; the duplicated-hash set comes back as ONE
-    broadcast row of sorted hashes (dd_lines' discipline — at sf0.1 it
-    is ~100-3k entries, the head of the gram-frequency distribution),
-    and span detection + merging + removal are zero-shuffle in-row
-    array ops: covered word indices are the union of [p, p+L) over
-    duplicated positions, spans are counted at covered indices whose
-    predecessor is not covered (equivalent to merging overlapping
-    intervals), kept words are the uncovered indices. If the dup set
-    outgrew a broadcast the same plan degrades to a hash-only shuffle
-    semi-join — the text side still never moves. The scoring pass is
-    pinned-repartitioned by doc_id (the bm25/lmscore lesson: broadcast
-    joins keep the probe side's single-split partitioning at test
-    scale)."""
+    100-TB shape: gram text never shuffles — each L-gram is hashed to
+    8 bytes (xxhash64) map-side and only (doc_id, pos, hash) crosses
+    the wire. Membership of each position in the duplicated set is a
+    hash SEMI-JOIN on the gram hash (the duplicated head of the
+    gram-frequency distribution broadcasts; if it outgrew a broadcast
+    the same plan degrades to a shuffle semi-join — still hashes only),
+    NOT an array_contains probe: a first cut carried the dup set as one
+    broadcast array row and scanned it per position, which is
+    O(npos x |dup|) linear work per doc — 21.7s at sf0.1 vs ~1s for
+    this shape. Duplicated positions come back per doc as a small int
+    array through a broadcast join on doc_id (position side is ~1% of
+    text size; at cluster scale it falls back to one doc_id exchange).
+    Span detection + merging + removal are zero-shuffle in-row array
+    ops, all hash-set based (array_except), never array_contains loops:
+    covered word indices are the union of [p, p+L) over duplicated
+    positions; span starts are covered indices c with c-1 not covered
+    (array_except(cov, cov+1) — interval-merge equivalent); kept words
+    are the uncovered indices (array_except(0..n-1, cov), which keeps
+    first-array order). The scoring pass is pinned-repartitioned by
+    doc_id (the bm25/lmscore lesson: broadcast joins keep the probe
+    side's single-split partitioning at test scale)."""
     npos = F.size("ws") - L + 1
-    gh = F.transform(
-        F.sequence(F.lit(0), npos - 1),
-        lambda i: F.md5(F.array_join(F.slice("ws", i + 1, L), " ")),
-    )
-    d = docs.select("doc_id", "ws", gh.alias("gh"))
+    gh = F.when(
+        npos > 0,
+        F.transform(
+            F.sequence(F.lit(0), npos - 1),
+            lambda i: F.xxhash64(F.array_join(F.slice("ws", i + 1, L), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = docs.select("doc_id", F.posexplode(gh).alias("pos", "h"))
     dup = (
-        d.select(F.explode("gh").alias("h"))
-        .groupBy("h")
+        ex.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
+        .select("h")
     )
-    brow = dup.agg(
-        F.coalesce(
-            F.sort_array(F.collect_list("h")), F.array().cast("array<string>")
-        ).alias("bh")
+    dpos = (
+        ex.join(F.broadcast(dup), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("dpos"))
     )
-    dp = d.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
-    ).crossJoin(F.broadcast(brow))
-    dup_pos = F.filter(
-        F.sequence(F.lit(0), F.size("gh") - 1),
-        lambda i: F.array_contains(F.col("bh"), F.element_at("gh", i + 1)),
+    dp = (
+        docs.select("doc_id", "ws")
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .join(F.broadcast(dpos), "doc_id", "left")
+        .select(
+            "doc_id",
+            "ws",
+            F.coalesce("dpos", F.array().cast("array<int>")).alias("dpos"),
+        )
     )
-    dp = dp.select("doc_id", "ws", dup_pos.alias("dpos"))
     covered = F.array_sort(
         F.array_distinct(
             F.flatten(
@@ -855,13 +868,10 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
     n_words = F.size("ws")
     n_cov = F.size("cov")
     n_spans = F.size(
-        F.filter("cov", lambda c: ~F.array_contains(F.col("cov"), c - 1))
+        F.array_except("cov", F.transform("cov", lambda c: c + 1))
     )
     kept = F.transform(
-        F.filter(
-            F.sequence(F.lit(0), n_words - 1),
-            lambda i: ~F.array_contains(F.col("cov"), i),
-        ),
+        F.array_except(F.sequence(F.lit(0), n_words - 1), F.col("cov")),
         lambda i: F.element_at("ws", i + 1),
     )
     return dp.select(

@@ -363,14 +363,19 @@ def test_diversity_and_c4_are_zero_shuffle_codegen(spark, sf001):
 
 
 def test_substr_dedup_dup_set_rides_broadcast(spark, sf001):
-    """ExactSubstr span removal: the duplicated-hash set returns as a
-    one-row broadcast (dd_lines' discipline) — no sort-merge join, no
-    cartesian, no Python eval; only 16-byte gram hashes shuffle for
-    the frequency count."""
+    """ExactSubstr span removal: duplicated-position membership is a
+    broadcast hash SEMI-join on the 8-byte gram hash (not an
+    array_contains scan over a broadcast array — that first cut was
+    O(npos x |dup|) per doc), and the per-doc position arrays ride a
+    broadcast hash join back to the text side — no sort-merge join, no
+    cartesian, no nested-loop, no Python eval; only hashes + int
+    positions shuffle."""
     from kgforge.operators.dedup import dd_substr
 
     plan = plan_of(dd_substr(spark, sf001))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
