@@ -32,6 +32,7 @@ HEADLINE = [
     "rel_dedup_rank",
     "rel_ntile_cohort",
     "rel_hierarchy_propagation",
+    "rel_range_join",
     "dd_exact",
     "dd_passage",
     "dd_url",
@@ -60,6 +61,7 @@ HEADLINE = [
     "tx_c4filter",
     "dd_lines",
     "dd_substr",
+    "dd_clusters",
     "rel_scd2",
     "mm_meta",
     "mm_frames",

@@ -954,6 +954,104 @@ FROM cov ORDER BY doc_id
 """
 
 
+def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment + keeper selection — the full
+    dedup decision, not just the pair list: MinHash->LSH->exact-verify
+    pairs (the dd_minhash_lsh path, whose output equals the exact
+    all-pairs baseline) -> connected components -> every doc labeled
+    with its cluster representative (min doc_id), the cluster size, and
+    keep/drop. This is the step that turns pair detection into an
+    actionable training-data filter (the reference analog is the
+    preferred-synonym dedup rank, Oracle/PCORNetLoader_ora.sql:600-640;
+    the LLM-corpus analog is keeper selection in Lee et al. 2021 /
+    RefinedWeb).
+
+    100-TB shape: CC runs only over the verified-duplicate edge set
+    (tiny vs corpus — kgforge.canon's adaptive local/distributed branch
+    with the memory-derived threshold); cluster labels + sizes come
+    back as a broadcast join keyed on doc_id, so the corpus side never
+    shuffles; singletons never enter any join state (they default via
+    coalesce). The DuckDB oracle recomputes components independently
+    with a recursive-CTE transitive closure over the exact-Jaccard pair
+    list, so the whole chain — candidate generation, verification, CC,
+    keeper choice — is hash-checked end to end."""
+    from kgforge import canon as C
+
+    docs = (
+        read_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("url"), "text")
+    )
+    sigs = C.minhash_signatures(docs, "text", "url", n_perms=MINHASH_PERMS)
+    blocks = C.lsh_blocks(sigs, n_bands=LSH_BANDS, id_col="url")
+    pairs, _metrics = C.candidate_pairs(blocks, id_col="url", max_block=MAX_LSH_BLOCK)
+    verified = C.verify_pairs_jaccard(pairs, docs, JACCARD_T, "url", "text")
+    comp = C.connected_components(
+        verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp_sized = comp.join(
+        comp.groupBy("comp").agg(F.count(F.lit(1)).alias("csz")), "comp"
+    )
+    return (
+        docs.select(F.col("url").alias("doc_id"))
+        .join(F.broadcast(comp_sized), F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).cast("long").alias("cluster_rep"),
+            F.coalesce("csz", F.lit(1)).cast("long").alias("cluster_size"),
+            F.when(
+                F.coalesce("comp", F.col("doc_id")) == F.col("doc_id"), "keep"
+            )
+            .otherwise("drop")
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DD_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(string_split(text,' ')) <= 3
+         THEN [array_to_string(string_split(text,' '), ' ')]
+         ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))
+    END)) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+dup_pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+),
+edges AS (
+  SELECT a AS u, b AS v FROM dup_pairs
+  UNION ALL SELECT b AS u, a AS v FROM dup_pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+csz AS (SELECT comp, COUNT(*) AS csz FROM comp GROUP BY comp)
+SELECT d.doc_id,
+       CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_rep,
+       CAST(coalesce(z.csz, 1) AS BIGINT) AS cluster_size,
+       CASE WHEN coalesce(c.comp, d.doc_id) = d.doc_id THEN 'keep'
+            ELSE 'drop' END AS decision
+FROM documents d
+LEFT JOIN comp c ON c.id = d.doc_id
+LEFT JOIN csz z ON z.comp = c.comp
+ORDER BY d.doc_id
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # dd_exact / dd_passage / dd_url / dd_bloom melt into ONE registered
 # query (dd_stats) via the same machinery as the rel_*/tx_* compounds —
@@ -983,6 +1081,10 @@ _DD_CELLS = {
         [("n_words", "n"), ("n_grams", "n"), ("n_dup_grams", "n"),
          ("n_covered", "n"), ("n_spans", "n"), ("dup_frac", "n"),
          ("clean_md5", "s")],
+    ),
+    "dd_clusters": (
+        None, ["doc_id"],
+        [("cluster_rep", "n"), ("cluster_size", "n"), ("decision", "s")],
     ),
     "dd_semdedup": (
         None, ["dup_id"],
@@ -1029,6 +1131,7 @@ QUERIES = {
     "dd_bloom": dd_bloom,
     "dd_lines": dd_lines,
     "dd_substr": dd_substr,
+    "dd_clusters": dd_clusters,
 }
 
 # SemDeDup lives in similarity.py (it shares the embedding plumbing and
@@ -1054,6 +1157,7 @@ ORACLES = {
     "dd_bloom": ORACLE_DD_BLOOM,
     "dd_lines": ORACLE_DD_LINES,
     "dd_substr": ORACLE_DD_SUBSTR,
+    "dd_clusters": ORACLE_DD_CLUSTERS,
     "dd_semdedup": ORACLE_DD_SEMDEDUP,
 }
 

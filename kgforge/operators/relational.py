@@ -282,6 +282,93 @@ GROUP BY enc_type ORDER BY enc_type
 """
 
 
+RANGE_BIN_US = 6 * 3600 * 1_000_000  # 6-hour time buckets
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range (interval) join: every event matched to every
+    promo window whose half-open [start_ts, end_ts) contains the event
+    timestamp — the enrollment-period containment idiom
+    (Oracle/PCORNetLoader_ora.sql:2041-2069, admit date between period
+    start/end) as a general interval join.
+
+    Spark-first 100-TB shape: OSS Spark has no band-join optimization —
+    a raw theta join on ts BETWEEN start AND end plans as
+    BroadcastNestedLoopJoin, a per-event linear scan of every interval.
+    Instead time is binned into fixed 6-hour buckets: each event maps to
+    exactly ONE bucket map-side (no fact-side blowup, no post-join
+    dedup), each interval EXPLODES to the buckets it overlaps (the
+    interval side is the small one; the last bucket uses end-1us so an
+    interval ending exactly on a bucket boundary does not claim an empty
+    bucket), and the join is a broadcast hash EQUI-join on the bucket id
+    followed by the exact containment predicate. If the interval side
+    outgrew a broadcast, the identical plan shuffles both sides on the
+    bucket id — the bucket width is the skew/size knob. hours_in is one
+    IEEE division of exact integer microseconds, so the DuckDB oracle
+    (which runs the naive theta join) matches bit-for-bit."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    promos = spark.createDataFrame(
+        [
+            (
+                i,
+                t0 + timedelta(hours=60 * i),
+                t0 + timedelta(hours=60 * i + 24 + 36 * (i % 3)),
+            )
+            for i in range(12)
+        ],
+        "promo_id int, start_ts timestamp, end_ts timestamp",
+    )
+    pb = promos.select(
+        "promo_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                (F.unix_micros("start_ts") / RANGE_BIN_US).cast("long"),
+                ((F.unix_micros("end_ts") - 1) / RANGE_BIN_US).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    # events.ts is TIMESTAMP_NTZ in the parquet; the session pins UTC so
+    # the cast to instant-typed TIMESTAMP is exact
+    e = read_table(spark, "events", sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.withColumn("bin", (F.unix_micros("ts") / RANGE_BIN_US).cast("long"))
+        .join(F.broadcast(pb), "bin")
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .select(
+            "event_id",
+            "promo_id",
+            "event_type",
+            "value",
+            (
+                (F.unix_micros("ts") - F.unix_micros("start_ts")).cast("double")
+                / F.lit(3600000000.0)
+            ).alias("hours_in"),
+        )
+        .orderBy("event_id", "promo_id")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH promos AS (
+  SELECT CAST(i AS INT) AS promo_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(60 * i) AS start_ts,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(60 * i + 24 + 36 * (i % 3)) AS end_ts
+  FROM range(0, 12) t(i)
+)
+SELECT e.event_id, p.promo_id, e.event_type, e.value,
+       CAST(epoch_us(e.ts) - epoch_us(p.start_ts) AS DOUBLE) / 3600000000.0 AS hours_in
+FROM events e JOIN promos p
+  ON e.ts >= p.start_ts AND e.ts < p.end_ts
+ORDER BY event_id, promo_id
+"""
+
+
 def q_values_seed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inline VALUES reference data joined to a dimension — the
     PMN_LabNormal seed (Oracle/PCORNetLoader_ora.sql:485-540) joined like
@@ -1466,6 +1553,10 @@ _SEMI_ANTI_CELLS = {
         None, ["c_custkey"], [("c_name", "s"), ("c_mktsegment", "s")]
     ),
     "rel_anti_join": (None, ["c_custkey"], [("c_name", "s")]),
+    "rel_range_join": (
+        None, ["event_id", "promo_id"],
+        [("event_type", "s"), ("value", "n"), ("hours_in", "n")],
+    ),
 }
 
 
@@ -1526,8 +1617,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compound semi/anti-join bundle: IN-subquery decorrelation and
-    NOT-IN codelist exclusion."""
+    """Compound join-predicate bundle: IN-subquery decorrelation,
+    NOT-IN codelist exclusion, and the binned temporal range join."""
     return _compound_sqlless(spark, sf_dir, _SEMI_ANTI_CELLS)
 
 
@@ -1553,6 +1644,7 @@ QUERIES = {
     "rel_semi_join": q_semi_join,
     "rel_anti_join": q_anti_join,
     "rel_theta_containment": q_theta_containment,
+    "rel_range_join": q_range_join,
     "rel_values_seed_join": q_values_seed_join,
     "rel_modifier_pivot": q_modifier_pivot,
     "rel_eav_pivot_max": q_eav_pivot_max,
@@ -1595,6 +1687,7 @@ ORACLES = {
     "rel_semi_join": ORACLE_SEMI_JOIN,
     "rel_anti_join": ORACLE_ANTI_JOIN,
     "rel_theta_containment": ORACLE_THETA_CONTAINMENT,
+    "rel_range_join": ORACLE_RANGE_JOIN,
     "rel_values_seed_join": ORACLE_VALUES_SEED_JOIN,
     "rel_modifier_pivot": ORACLE_MODIFIER_PIVOT,
     "rel_eav_pivot_max": ORACLE_EAV_PIVOT_MAX,

@@ -1883,3 +1883,40 @@ def test_substr_dedup_matches_independent_python(spark):
     assert got[4]["clean_md5"] == hashlib.md5(
         " ".join(docs[4]).encode()
     ).hexdigest()
+
+
+def test_dd_clusters_consistent_with_pair_list(spark, sf001):
+    """Cluster assignment must agree with the verified pair list: both
+    endpoints of every near-dup pair share a cluster_rep, the rep is the
+    min doc_id of its cluster (and is the one 'keep'), cluster sizes
+    reconcile with member counts, and docs in no pair are singletons."""
+    from kgforge.operators.dedup import dd_clusters, dd_ngram_jaccard
+
+    clusters = {
+        r["doc_id"]: r for r in dd_clusters(spark, sf001).collect()
+    }
+    pairs = [(r["a"], r["b"]) for r in dd_ngram_jaccard(spark, sf001).collect()]
+    assert pairs, "fixture must contain near-dup pairs"
+    paired = set()
+    for a, b in pairs:
+        assert clusters[a]["cluster_rep"] == clusters[b]["cluster_rep"]
+        paired |= {a, b}
+    from collections import Counter
+
+    members = Counter(r["cluster_rep"] for r in clusters.values())
+    for doc_id, r in clusters.items():
+        assert r["cluster_rep"] <= doc_id
+        assert (r["decision"] == "keep") == (r["cluster_rep"] == doc_id)
+        assert r["cluster_size"] == members[r["cluster_rep"]]
+        if doc_id not in paired:
+            assert r["cluster_size"] == 1 and r["decision"] == "keep"
+    # the operator's point: at least one multi-doc cluster, exactly one
+    # keeper inside it
+    multi = [rep for rep, n in members.items() if n > 1]
+    assert multi
+    for rep in multi:
+        keeps = [
+            d for d, r in clusters.items()
+            if r["cluster_rep"] == rep and r["decision"] == "keep"
+        ]
+        assert keeps == [rep]

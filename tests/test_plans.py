@@ -379,3 +379,18 @@ def test_substr_dedup_dup_set_rides_broadcast(spark, sf001):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftSemi" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_join_is_binned_equi_not_nested_loop(spark, sf001):
+    """Interval containment join: the binned formulation must plan as a
+    broadcast hash EQUI-join on the bucket id with the containment
+    predicate as a post-join filter — never the BroadcastNestedLoopJoin
+    a raw theta join degenerates to (per-event linear scan of every
+    interval, quadratic at scale)."""
+    from kgforge.operators.relational import q_range_join
+
+    plan = plan_of(q_range_join(spark, sf001))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
