@@ -694,6 +694,77 @@ def classify(docs: DataFrame) -> DataFrame:
     )
 
 
+def bpe_train(vocab: DataFrame, n_merges: int = 30) -> tuple[list, DataFrame]:
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016) —
+    tx_bpe is round 1's pair count; this runs the actual merge loop.
+    `vocab` is (word, wcnt). Each round: (1) count adjacent token pairs
+    weighted by word frequency — the stage is VOCABULARY-sized, never
+    corpus-sized, because pair statistics over a corpus equal pair
+    statistics over its distinct words weighted by count (the same
+    observation that makes tx_bpe corpus-size-independent; at 100 TB
+    the one corpus-sized job is the initial wordcount, and every one
+    of the k training rounds after it touches only the vocabulary);
+    (2) pick the max pair with a deterministic (count desc, left,
+    right) tie-break — a top-1 TakeOrdered, one driver-side scalar per
+    round, job control in the CC idiom, not a data collect; (3) merge
+    every non-overlapping occurrence left-to-right map-side via an
+    aggregate fold over the token array (merge iff the accumulator's
+    last element is `left` and the incoming token is `right` — exactly
+    the canonical scan order, pytest-checked against an independent
+    pure-Python reimplementation of the paper's algorithm); then
+    localCheckpoint to cut lineage so round k never replays rounds
+    1..k-1.
+
+    Returns (merges, tokenized_vocab): merges is [(left, right,
+    pair_count)] in training order; tokenized_vocab is (word, wcnt,
+    toks) after all merges — the trained tokenizer's segmentation of
+    the vocabulary."""
+    toks = vocab.select(
+        "word", "wcnt", F.split(F.col("word"), "").alias("toks")
+    ).localCheckpoint(eager=True)
+    merges: list = []
+    for _ in range(n_merges):
+        pairs = (
+            toks.filter(F.size("toks") >= 2)
+            .select(
+                "wcnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - 2),
+                        lambda i: F.struct(
+                            F.element_at("toks", i + 1).alias("l"),
+                            F.element_at("toks", i + 2).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wcnt").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((a, b, int(cnt)))
+        m = a + b
+        toks = toks.withColumn(
+            "toks",
+            F.aggregate(
+                "toks",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint(eager=True)
+    return merges, toks
+
+
 def tx_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
 

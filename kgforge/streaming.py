@@ -596,6 +596,111 @@ def stream_incremental_ingest(
     return n_ingested
 
 
+RANGE_JOIN_MAX_DUR = "INTERVAL 96 HOURS"  # promo windows are <= 96h
+
+
+def run_stream_range_join_parity(
+    spark: SparkSession,
+    events_dir: str,
+    promos_dir: str,
+    max_files_per_trigger: int = 1,
+) -> tuple[set, set]:
+    """Stream-stream interval join — the streaming twin of
+    rel_range_join: an unbounded event stream joined to an unbounded
+    promo-window stream on half-open containment
+    [start_ts, end_ts). The binned shape is not an optimization here —
+    it is REQUIRED: Spark rejects stream-stream joins without an
+    equality predicate outright ("Stream-stream join without equality
+    predicate is not supported"), so the raw theta form that batch
+    Spark would at least limp through as a nested loop does not run at
+    all. Events map to one 6-hour bucket, promo windows explode to the
+    buckets they overlap, and the bucket id is the equi key. Both
+    sides carry watermarks, and the join condition keeps the
+    time-range constraint between the two event-time columns
+    (`ts <= start_ts + 96h`, the bounded interval duration) so the
+    symmetric hash join can evict state: promo state drops once the
+    event watermark passes start_ts + 96h, event state once the promo
+    watermark passes ts. Inner stream-stream joins emit matches
+    eagerly (the watermark gates only state eviction, not result
+    emission), so the streamed result must equal the batch theta join
+    exactly.
+
+    Returns (stream_pairs, batch_pairs) of (event_id, promo_id); the
+    caller asserts equality."""
+    from kgforge.operators.relational import RANGE_BIN_US
+
+    ev = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+        .withWatermark("ts", "1 hour")
+        .withColumn("bin", (F.unix_micros("ts") / RANGE_BIN_US).cast("long"))
+    )
+    pr = (
+        spark.readStream.schema(
+            "promo_id int, start_ts timestamp, end_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(promos_dir)
+        .withWatermark("start_ts", "1 hour")
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.unix_micros("start_ts") / RANGE_BIN_US).cast("long"),
+                    ((F.unix_micros("end_ts") - 1) / RANGE_BIN_US).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = (
+        ev.alias("ev")
+        .join(
+            pr.alias("pr"),
+            (F.col("ev.bin") == F.col("pr.bin"))
+            & (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("end_ts"))
+            & (F.col("ts") <= F.expr(f"start_ts + {RANGE_JOIN_MAX_DUR}")),
+            "inner",
+        )
+        .select("event_id", "promo_id")
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st_range_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["promo_id"])
+            for r in spark.sql("SELECT * FROM st_range_out").collect()
+        }
+        # structural check while the query is live: this must execute as
+        # a symmetric hash join (both sides buffered + watermark-evicted),
+        # not a static-side broadcast
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain()
+        assert "StreamingSymmetricHashJoin" in buf.getvalue()
+    finally:
+        q.stop()
+    ev_b = spark.read.parquet(events_dir)
+    pr_b = spark.read.parquet(promos_dir)
+    want = {
+        (r["event_id"], r["promo_id"])
+        for r in ev_b.join(
+            pr_b,
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")),
+        ).collect()
+    }
+    return got, want
+
+
 QUERIES = {
     "st_tumbling_agg": st_tumbling_agg,
     "st_sessionize": st_sessionize,

@@ -1920,3 +1920,98 @@ def test_dd_clusters_consistent_with_pair_list(spark, sf001):
             if r["cluster_rep"] == rep and r["decision"] == "keep"
         ]
         assert keeps == [rep]
+
+
+def test_stream_range_join_parity(spark, sf001, tmp_path):
+    """Watermarked stream-stream interval join == batch theta join:
+    events arrive in three time-ordered files, promo windows in one;
+    the symmetric-hash-join result set must equal the batch containment
+    join exactly (inner joins emit eagerly; the duration bound in the
+    join condition exists for state eviction, not emission)."""
+    from datetime import datetime, timedelta
+
+    from kgforge.streaming import run_stream_range_join_parity
+
+    ev_dir, pr_dir = str(tmp_path / "ev"), str(tmp_path / "pr")
+    ev = (
+        spark.read.parquet(f"{sf001}/events.parquet")
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts")
+        .orderBy("ts")
+    )
+    rows = ev.collect()
+    n = len(rows)
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ev_dir)
+    t0 = datetime(2024, 1, 1)
+    promos = [
+        (i, t0 + timedelta(hours=60 * i), t0 + timedelta(hours=60 * i + 24 + 36 * (i % 3)))
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        promos, "promo_id int, start_ts timestamp, end_ts timestamp"
+    ).coalesce(1).write.parquet(pr_dir)
+    got, want = run_stream_range_join_parity(spark, ev_dir, pr_dir)
+    assert want, "fixture must produce matches"
+    assert got == want
+
+
+def test_bpe_train_matches_sennrich_reference(spark, sf001):
+    """Distributed BPE training vs an independent pure-Python
+    implementation of Sennrich et al. 2016 (dict-of-tuples vocab,
+    Counter pair stats, left-to-right non-overlapping merge): the merge
+    sequence (pair + its corpus count at selection time) and the final
+    vocabulary segmentation must match exactly, tie-breaks included."""
+    from collections import Counter
+
+    from kgforge.operators.textstats import bpe_train
+    from kgforge.sources import read_table
+
+    N_MERGES = 12
+    vocab_df = (
+        read_table(spark, "documents", sf001)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    wc = {r["word"]: r["wcnt"] for r in vocab_df.collect()}
+
+    vocab = {w: tuple(w) for w in wc}
+
+    def pair_stats():
+        c = Counter()
+        for w, toks in vocab.items():
+            n = wc[w]
+            for i in range(len(toks) - 1):
+                c[(toks[i], toks[i + 1])] += n
+        return c
+
+    def merge_word(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return tuple(out)
+
+    expected_merges = []
+    for _ in range(N_MERGES):
+        stats = pair_stats()
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected_merges.append((a, b, cnt))
+        for w in vocab:
+            vocab[w] = merge_word(vocab[w], a, b)
+
+    merges, toks_df = bpe_train(vocab_df, n_merges=N_MERGES)
+    assert merges == expected_merges
+    got = {r["word"]: tuple(r["toks"]) for r in toks_df.collect()}
+    assert got == vocab
+    # the loop did real work: some merged token is multi-char and used
+    assert any(len(t) >= 3 for ts in got.values() for t in ts)
