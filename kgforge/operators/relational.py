@@ -919,6 +919,48 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the two one-dimension marginals in one
+    scan, a set list neither ROLLUP nor CUBE can express (rollup gives
+    the hierarchy prefixes, cube all 2^n combinations; a report that
+    wants exactly the per-status and per-priority marginals without the
+    cross-classification or grand total needs explicit sets). Same
+    single expand+aggregate plan as rel_cube: the fact table is scanned
+    once however many sets the report asks for — at 100 TB that
+    single-scan property is the point vs. UNION ALL of per-set GROUP
+    BYs. GROUPING() disambiguates a real NULL key from a superaggregate
+    row, exactly as in the SQL standard."""
+    o = read_table(spark, "orders", sf_dir)
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL without dedup — the concept-path seed-list / fact-union
     pattern (Oracle/PCORNetLoader_ora.sql:1674-1688)."""
@@ -1537,6 +1579,12 @@ _AGG_STATS_CELLS = {
         None, ["o_orderstatus", "o_orderpriority"],
         [("n_orders", "n"), ("total_price", "n")],
     ),
+    # explicit sets: the GROUPING() flag columns disambiguate rows even
+    # if a key domain ever contained NULLs, so the melted key adds them
+    "rel_grouping_sets": (
+        None, ["o_orderstatus", "o_orderpriority", "g_status", "g_prio"],
+        [("n_orders", "n"), ("total_price", "n")],
+    ),
     "rel_breakdown_pct": (None, ["o_orderstatus"], [("cnt", "n"), ("pct", "n")]),
     "rel_reconciliation_counts": (
         None, ["tbl"], [("n_rows", "n"), ("n_subjects", "n")]
@@ -1627,6 +1675,7 @@ QUERIES = {
     "rel_salted_stats": q_salted_stats,
     "rel_rollup": q_rollup,
     "rel_cube": q_cube,
+    "rel_grouping_sets": q_grouping_sets,
     "rel_unit_convert": q_unit_convert,
     "rel_format_lpad": q_format_lpad,
     "rel_path_slice": q_path_slice,
@@ -1670,6 +1719,7 @@ ORACLES = {
     "rel_salted_stats": ORACLE_SALTED_STATS,
     "rel_rollup": ORACLE_ROLLUP,
     "rel_cube": ORACLE_CUBE,
+    "rel_grouping_sets": ORACLE_GROUPING_SETS,
     "rel_unit_convert": ORACLE_UNIT_CONVERT,
     "rel_format_lpad": ORACLE_FORMAT_LPAD,
     "rel_path_slice": ORACLE_PATH_SLICE,

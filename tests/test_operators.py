@@ -2015,3 +2015,43 @@ def test_bpe_train_matches_sennrich_reference(spark, sf001):
     assert got == vocab
     # the loop did real work: some merged token is multi-char and used
     assert any(len(t) >= 3 for ts in got.values() for t in ts)
+
+
+def test_sketch_aggregates_error_bounds(spark, sf001):
+    """Approximate aggregates — the 100-TB path where exact
+    COUNT(DISTINCT) / exact percentile shuffle too much: HLL++
+    (approx_count_distinct), the Datasketches HLL surface
+    (hll_sketch_agg -> hll_union_agg -> hll_sketch_estimate: sketches
+    are MERGEABLE, so per-partition partials combine without re-reading
+    — the property exact distinct lacks), and percentile_approx. Each is
+    bound-checked against the exact answer on the same data; rel_salted
+    _stats remains the exact-path operator these trade against."""
+    o = spark.read.parquet(f"{sf001}/orders.parquet")
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet")
+
+    exact = o.select(F.countDistinct("o_custkey").alias("d")).collect()[0]["d"]
+    approx = o.select(
+        F.approx_count_distinct("o_custkey").alias("d")
+    ).collect()[0]["d"]
+    assert abs(approx - exact) / exact < 0.15  # rsd default 0.05, 3-sigma
+
+    # mergeability: per-status sketches unioned == one global sketch
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("d")
+    ).collect()[0]["d"]
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("d")
+    ).collect()[0]["d"]
+    assert merged == direct  # same sketch state, merge order irrelevant
+    assert abs(merged - exact) / exact < 0.15
+
+    med_exact = li.select(
+        F.expr("percentile(l_quantity, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    med_approx = li.select(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    assert abs(med_approx - med_exact) <= 1.0  # quantities are 1..50
