@@ -1,7 +1,8 @@
 """Scaling-efficiency evidence for the TRAINING-DATA ops (companion to
 BENCH/scaling.py, which measures the flagship KG pipeline): the same
 text gauntlet — ingest gates + PII scrub, sequence packing, exact
-dedup, passage dedup, benchmark decontamination — over the same
+dedup, passage dedup, benchmark decontamination, duplicated-span
+removal (ExactSubstr) — over the same
 synthesized documents table at local[N] and local[4N];
 efficiency = tput(4N) / (4 x tput(N)), target >= 0.8 (north rule).
 
@@ -63,7 +64,9 @@ def synth_docs(spark, n_docs: int, out: str) -> None:
     )
 
 
-GAUNTLET = ("redact_gates", "pack", "dd_exact", "dd_passage", "decontam")
+GAUNTLET = (
+    "redact_gates", "pack", "dd_exact", "dd_passage", "decontam", "dd_substr"
+)
 
 
 def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
@@ -72,7 +75,7 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
     determinism assert. Returns (timings, counts)."""
     from pyspark.sql import functions as F
 
-    from kgforge.operators.dedup import passage_dedup
+    from kgforge.operators.dedup import passage_dedup, substr_dedup
     from kgforge.operators.textstats import _sample_cols, decontam, pack_docs, redact
 
     def exact(d):
@@ -104,6 +107,12 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
         "dd_exact": lambda: exact(docs),
         "dd_passage": lambda: passage_dedup(docs),
         "decontam": lambda: decontam(docs),
+        # word-level ExactSubstr over the raw text: the planted
+        # 1300-block clone groups guarantee corpus-wide duplicated
+        # grams at every size
+        "dd_substr": lambda: substr_dedup(
+            docs.select("doc_id", F.split("text", " ").alias("ws"))
+        ),
     }
     # per-op checksum column: summing a value column catches bugs a bare
     # row count cannot (e.g. sum(start_off) changes if the packing
@@ -114,6 +123,7 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
         "dd_exact": "n_copies",
         "dd_passage": "n_occ",
         "decontam": "n_contam_grams",
+        "dd_substr": "n_covered",
     }
     timings, counts = {}, {}
     for name in GAUNTLET:
@@ -201,7 +211,7 @@ def main() -> int:
         tput_l = args.docs / large["wall_sec"]
         eff = tput_l / (4 * tput_s)
         summary = {
-            "job": "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, decontam)",
+            "job": "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, decontam, dd_substr)",
             "docs": args.docs, "n_small": args.n, "n_large": 4 * args.n,
             "wall_small": small["wall_sec"], "wall_large": large["wall_sec"],
             "tput_small_docs_per_sec": round(tput_s, 1),
