@@ -814,8 +814,15 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
     broadcast array row and scanned it per position, which is
     O(npos x |dup|) linear work per doc — 21.7s at sf0.1 vs ~1s for
     this shape. Duplicated positions come back per doc as a small int
-    array through a broadcast join on doc_id (position side is ~1% of
-    text size; at cluster scale it falls back to one doc_id exchange).
+    array through a SHUFFLE-HASH join on doc_id against the pinned
+    doc_id repartition of the text side (partitionings align, so the
+    text is exchanged once and the join adds no sort): a second cut
+    broadcast the position table, and the 4M-doc N-vs-4N run showed
+    why that was wrong — with ~308k docs in dup groups the position
+    side is tens of MB, and the driver-side collect+rebroadcast is a
+    serial constant that capped scaling efficiency at 0.55; as a
+    shuffled join every byte of it moves executor-to-executor in
+    parallel.
     Span detection + merging + removal are zero-shuffle in-row array
     ops, all hash-set based (array_except), never array_contains loops:
     covered word indices are the union of [p, p+L) over duplicated
@@ -850,7 +857,7 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
         .repartition(
             docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
         )
-        .join(F.broadcast(dpos), "doc_id", "left")
+        .join(dpos.hint("SHUFFLE_HASH"), "doc_id", "left")
         .select(
             "doc_id",
             "ws",

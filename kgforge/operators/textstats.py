@@ -1564,6 +1564,165 @@ def c4_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+GOPHER_LINE_WORDS = 5   # words per synthesized page line
+GOPHER_SYM_MOD = 5      # one planted '#x' word (stays under threshold)
+GOPHER_SYMHEAVY_MOD = 19  # ~1/7 of words are '#x' -> symbol ratio fails
+GOPHER_DIGIT_MOD = 23   # ~1/4 digit-only words -> alpha fraction fails
+GOPHER_BULLET_MOD = 17  # every line bulleted -> bullet fraction fails
+GOPHER_ELLIPSIS_MOD = 13  # every line ends '...' -> ellipsis frac fails
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """The Gopher/MassiveText repetition-free rule battery (Rae et al.
+    2021) that tx_quality/tx_repetition/tx_diversity do not already
+    carry: symbol-to-word ratio ('#' words), alphabetic-word fraction,
+    bullet-line fraction, ellipsis-line fraction, mean word length and
+    word-count bounds — over deterministically decorated words/lines
+    (the c4_filter/dd_url idiom): docs at the planted moduli get one
+    symbol word (under threshold), a symbol-heavy tail (over), a
+    digit-word tail (alpha fraction fails), all-bullet lines, or
+    all-ellipsis lines, so every rule fires in BOTH directions at every
+    sf and the keep flag can never be vacuous.
+
+    100-TB shape: zero shuffle — decoration, line assembly and every
+    rule are in-row array ops, JVM-side codegen; all fractions are one
+    IEEE division of exact integer counts (no rounding surrogate), so
+    the DuckDB oracle matches bit-for-bit."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ws0"))
+    n0 = F.size("ws0")
+    empty = F.array().cast("array<string>")
+
+    def planted(mod, word, cnt):
+        return F.when(
+            F.col("doc_id") % mod == 0,
+            F.transform(F.sequence(F.lit(1), cnt), lambda i: F.lit(word)),
+        ).otherwise(empty)
+
+    ws = F.concat(
+        F.col("ws0"),
+        planted(GOPHER_SYM_MOD, "#x", F.lit(1)),
+        planted(GOPHER_SYMHEAVY_MOD, "#x", (n0 / 6).cast("int") + 1),
+        planted(GOPHER_DIGIT_MOD, "12345", (n0 / 3).cast("int") + 1),
+    )
+    d = d.select("doc_id", ws.alias("ws"))
+    n_words = F.size("ws")
+    n_sym = F.size(F.filter("ws", lambda w: w.contains("#")))
+    n_alpha = F.size(F.filter("ws", lambda w: w.rlike("[A-Za-z]")))
+    sum_len = F.aggregate(
+        "ws", F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_chunks = F.ceil(n_words / F.lit(float(GOPHER_LINE_WORDS))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.when(
+                (F.col("doc_id") % GOPHER_BULLET_MOD == 0)
+                | ((F.col("doc_id") + i) % 4 == 0),
+                F.lit("- "),
+            ).otherwise(F.lit("")),
+            F.array_join(
+                F.slice("ws", i * GOPHER_LINE_WORDS + 1, GOPHER_LINE_WORDS), " "
+            ),
+            F.when(
+                (F.col("doc_id") % GOPHER_ELLIPSIS_MOD == 0)
+                | ((F.col("doc_id") + i) % 6 == 0),
+                F.lit("..."),
+            ).otherwise(F.lit(".")),
+        ),
+    )
+    d = d.select(
+        "doc_id", n_words.alias("nw"), n_sym.alias("nsym"),
+        n_alpha.alias("nalpha"), sum_len.alias("slen"), lines.alias("lines"),
+    )
+    n_lines = F.size("lines")
+    n_bullet = F.size(F.filter("lines", lambda l: l.startswith("- ")))
+    n_ellipsis = F.size(F.filter("lines", lambda l: l.endswith("...")))
+    sym_ratio = F.col("nsym").cast("double") / F.col("nw")
+    alpha_frac = F.col("nalpha").cast("double") / F.col("nw")
+    bullet_frac = n_bullet.cast("double") / n_lines
+    ellipsis_frac = n_ellipsis.cast("double") / n_lines
+    mean_wl = F.col("slen").cast("double") / F.col("nw")
+    keep = (
+        (sym_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (F.col("nw") >= 50)
+        & (F.col("nw") <= 100000)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+    )
+    return d.select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_words"),
+        sym_ratio.alias("sym_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_lines.cast("long").alias("n_lines"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        mean_wl.alias("mean_wl"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def tx_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+ORACLE_TX_GOPHER = f"""
+WITH w0 AS (SELECT doc_id, string_split(text,' ') AS ws0 FROM documents),
+w AS (
+  SELECT doc_id,
+         ws0
+         || CASE WHEN doc_id % {GOPHER_SYM_MOD} = 0 THEN ['#x'] ELSE [] END
+         || CASE WHEN doc_id % {GOPHER_SYMHEAVY_MOD} = 0
+                 THEN list_transform(range(CAST(len(ws0)/6 AS INT) + 1), i -> '#x')
+                 ELSE [] END
+         || CASE WHEN doc_id % {GOPHER_DIGIT_MOD} = 0
+                 THEN list_transform(range(CAST(len(ws0)/3 AS INT) + 1), i -> '12345')
+                 ELSE [] END AS ws
+  FROM w0
+),
+m AS (
+  SELECT doc_id, ws,
+         len(ws) AS nw,
+         len(list_filter(ws, x -> contains(x, '#'))) AS nsym,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+         list_sum(list_transform(ws, x -> length(x))) AS slen,
+         list_transform(range(CAST(ceil(len(ws)/{GOPHER_LINE_WORDS}.0) AS BIGINT)),
+           i -> (CASE WHEN doc_id % {GOPHER_BULLET_MOD} = 0
+                      OR (doc_id + i) % 4 = 0 THEN '- ' ELSE '' END)
+                || array_to_string(ws[i*{GOPHER_LINE_WORDS}+1 : i*{GOPHER_LINE_WORDS}+{GOPHER_LINE_WORDS}], ' ')
+                || (CASE WHEN doc_id % {GOPHER_ELLIPSIS_MOD} = 0
+                         OR (doc_id + i) % 6 = 0 THEN '...' ELSE '.' END)
+         ) AS lines
+  FROM w
+),
+r AS (
+  SELECT doc_id, nw, nsym, nalpha, slen,
+         len(lines) AS nl,
+         len(list_filter(lines, l -> left(l, 2) = '- ')) AS nb,
+         len(list_filter(lines, l -> right(l, 3) = '...')) AS ne
+  FROM m
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(nsym AS DOUBLE) / nw AS sym_ratio,
+       CAST(nalpha AS DOUBLE) / nw AS alpha_frac,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(nb AS DOUBLE) / nl AS bullet_frac,
+       CAST(ne AS DOUBLE) / nl AS ellipsis_frac,
+       CAST(slen AS DOUBLE) / nw AS mean_wl,
+       (CAST(nsym AS DOUBLE) / nw <= 0.1
+        AND CAST(nalpha AS DOUBLE) / nw >= 0.8
+        AND CAST(nb AS DOUBLE) / nl <= 0.9
+        AND CAST(ne AS DOUBLE) / nl <= 0.3
+        AND nw BETWEEN 50 AND 100000
+        AND CAST(slen AS DOUBLE) / nw BETWEEN 2.0 AND 12.0) AS gopher_keep
+FROM r ORDER BY doc_id
+"""
+
+
 def tx_c4filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_filter(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
@@ -1620,6 +1779,12 @@ _TX_CELLS = {
          ("stop_ratio", "n"), ("keep", "s")],
     ),
     "tx_tokens": (None, ["doc_id"], [("ws_tokens", "n"), ("re_tokens", "n")]),
+    "tx_gopher": (
+        None, ["doc_id"],
+        [("n_words", "n"), ("sym_ratio", "n"), ("alpha_frac", "n"),
+         ("n_lines", "n"), ("bullet_frac", "n"), ("ellipsis_frac", "n"),
+         ("mean_wl", "n"), ("gopher_keep", "s")],
+    ),
     "tx_fingerprint": (None, ["doc_id"], [("fingerprint", "n")]),
     "tx_repetition": (
         None, ["doc_id"],
@@ -1721,6 +1886,7 @@ QUERIES = {
     "tx_lmscore": tx_lmscore,
     "tx_diversity": tx_diversity,
     "tx_c4filter": tx_c4filter,
+    "tx_gopher": tx_gopher,
 }
 
 ORACLES = {
@@ -1744,6 +1910,7 @@ ORACLES = {
     "tx_lmscore": ORACLE_TX_LMSCORE,
     "tx_diversity": ORACLE_TX_DIVERSITY,
     "tx_c4filter": ORACLE_TX_C4FILTER,
+    "tx_gopher": ORACLE_TX_GOPHER,
 }
 
 

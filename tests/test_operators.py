@@ -2055,3 +2055,45 @@ def test_sketch_aggregates_error_bounds(spark, sf001):
         F.percentile_approx("l_quantity", 0.5, 10000).alias("m")
     ).collect()[0]["m"]
     assert abs(med_approx - med_exact) <= 1.0  # quantities are 1..50
+
+
+def test_gopher_rules_fire_both_ways(spark, sf001):
+    """Every planted Gopher violation actually trips its rule at test
+    scale, clean docs keep, and the fractions reconcile with the
+    planted construction (doc 0 sits on every modulus, so it is the
+    maximal violator)."""
+    from kgforge.operators.textstats import (
+        GOPHER_BULLET_MOD,
+        GOPHER_DIGIT_MOD,
+        GOPHER_ELLIPSIS_MOD,
+        GOPHER_SYMHEAVY_MOD,
+        tx_gopher,
+    )
+
+    got = {r["doc_id"]: r for r in tx_gopher(spark, sf001).collect()}
+    keeps = [r["gopher_keep"] for r in got.values()]
+    assert any(keeps) and not all(keeps)
+    for d, r in got.items():
+        if d % GOPHER_SYMHEAVY_MOD == 0:
+            assert r["sym_ratio"] > 0.1 and not r["gopher_keep"]
+        if d % GOPHER_DIGIT_MOD == 0:
+            assert r["alpha_frac"] < 0.8 and not r["gopher_keep"]
+        if d % GOPHER_BULLET_MOD == 0:
+            assert r["bullet_frac"] == 1.0 and not r["gopher_keep"]
+        if d % GOPHER_ELLIPSIS_MOD == 0:
+            assert r["ellipsis_frac"] == 1.0 and not r["gopher_keep"]
+        if not any(
+            d % m == 0
+            for m in (
+                GOPHER_SYMHEAVY_MOD,
+                GOPHER_DIGIT_MOD,
+                GOPHER_BULLET_MOD,
+                GOPHER_ELLIPSIS_MOD,
+            )
+        ):
+            # undecorated-violation docs: fractions sit safely inside
+            # the thresholds (one '#x' word at most, ~1/4 bullets,
+            # ~1/6 ellipses)
+            assert r["sym_ratio"] <= 0.1
+            assert r["bullet_frac"] < 0.5
+            assert r["ellipsis_frac"] < 0.3
