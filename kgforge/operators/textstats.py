@@ -1601,8 +1601,10 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     ws = F.concat(
         F.col("ws0"),
         planted(GOPHER_SYM_MOD, "#x", F.lit(1)),
-        planted(GOPHER_SYMHEAVY_MOD, "#x", (n0 / 6).cast("int") + 1),
-        planted(GOPHER_DIGIT_MOD, "12345", (n0 / 3).cast("int") + 1),
+        # floor() explicitly on BOTH sides: DuckDB CAST(9.5 AS INT)
+        # rounds half-even where Spark's cast truncates
+        planted(GOPHER_SYMHEAVY_MOD, "#x", F.floor(n0 / 6).cast("int") + 1),
+        planted(GOPHER_DIGIT_MOD, "12345", F.floor(n0 / 3).cast("int") + 1),
     )
     d = d.select("doc_id", ws.alias("ws"))
     n_words = F.size("ws")
@@ -1676,10 +1678,10 @@ w AS (
          ws0
          || CASE WHEN doc_id % {GOPHER_SYM_MOD} = 0 THEN ['#x'] ELSE [] END
          || CASE WHEN doc_id % {GOPHER_SYMHEAVY_MOD} = 0
-                 THEN list_transform(range(CAST(len(ws0)/6 AS INT) + 1), i -> '#x')
+                 THEN list_transform(range(CAST(floor(len(ws0)/6) AS INT) + 1), i -> '#x')
                  ELSE [] END
          || CASE WHEN doc_id % {GOPHER_DIGIT_MOD} = 0
-                 THEN list_transform(range(CAST(len(ws0)/3 AS INT) + 1), i -> '12345')
+                 THEN list_transform(range(CAST(floor(len(ws0)/3) AS INT) + 1), i -> '12345')
                  ELSE [] END AS ws
   FROM w0
 ),
