@@ -59,6 +59,7 @@ HEADLINE = [
     "tx_lmscore",
     "tx_diversity",
     "tx_c4filter",
+    "tx_gopher",
     "dd_lines",
     "dd_substr",
     "dd_clusters",
