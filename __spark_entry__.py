@@ -45,7 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # standalone implementations remain in relational.QUERIES for bench
     # and local verification. Flagship kg_* first for evidence priority.
     out: dict[str, Callable] = {}
-    out.update(pipeline.QUERIES)  # kg_* flagship (incl. measurements/qualifiers)
+    # kg_* flagship (incl. measurements/qualifiers); the three small
+    # metadata emitters ride as the kg_meta compound
+    out.update(pipeline.DRIVER_QUERIES)
     out.update(streaming.QUERIES)
     for name in dedup.DRIVER_QUERIES:  # dd_exact/passage/url/bloom melt into dd_stats
         out[name] = dedup.QUERIES[name]

@@ -76,6 +76,8 @@ HEADLINE = [
     "kg_graph",
     "kg_assoc",  # after kg_graph: reuses the pass's cached candidates
     "kg_khop",  # likewise (same thresholded co-occurrence edge set)
+    "kg_centrality",  # likewise (all-pairs BFS over the same edge set)
+    "kg_linkgraph",  # web link graph: extract/resolve/host-aggregate
     "kg_triples",
 ]
 

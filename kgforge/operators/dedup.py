@@ -491,22 +491,30 @@ ORDER BY phash
 """
 
 
-def url_canonicalize(urls: DataFrame) -> DataFrame:
-    """urls(doc_id, raw_url) -> (doc_id, raw_url, canonical_url): the
-    standard web-crawl URL canonicalization battery — strip the
-    fragment, strip utm_* tracking parameters, lowercase the
-    scheme+host prefix (the part of a URL that is case-insensitive by
-    RFC 3986; the path is NOT lowercased), strip one trailing slash.
-    Pure regexp/string ops inside codegen; the identical four rewrites
-    run in the SQL oracle so the mapping is bit-identical."""
-    u = F.regexp_replace(F.col("raw_url"), "#.*$", "")
+def canonical_url_col(raw):
+    """Column-level URL canonicalization battery — strip the fragment,
+    strip utm_* tracking parameters, lowercase the scheme+host prefix
+    (the part of a URL that is case-insensitive by RFC 3986; the path
+    is NOT lowercased), strip one trailing slash. Pure regexp/string
+    ops inside codegen; the identical four rewrites run in the SQL
+    oracles (dd_url, kg_linkgraph) so the mapping is bit-identical.
+    Shared by the crawl-frontier dedup (dd_url) and the link-graph
+    target normalization (kgforge.pipeline.kg_linkgraph)."""
+    u = F.regexp_replace(raw, "#.*$", "")
     u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*", "")
     u = F.concat(
         F.lower(F.regexp_extract(u, "^[^/]*//[^/]*", 0)),
         F.regexp_replace(u, "^[^/]*//[^/]*", ""),
     )
-    u = F.regexp_replace(u, "/$", "")
-    return urls.select("doc_id", "raw_url", u.alias("canonical_url"))
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_canonicalize(urls: DataFrame) -> DataFrame:
+    """urls(doc_id, raw_url) -> (doc_id, raw_url, canonical_url) via
+    canonical_url_col."""
+    return urls.select(
+        "doc_id", "raw_url", canonical_url_col(F.col("raw_url")).alias("canonical_url")
+    )
 
 
 def dd_url(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,6 +156,71 @@ def khop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     return visited
 
 
+def all_pairs_hops(edges: DataFrame, max_k: int) -> DataFrame:
+    """Truncated all-pairs BFS: (src, node, dist) = minimal directed
+    hop count, 1 <= dist <= max_k, from EVERY node that has an
+    outgoing edge. Same frontier-at-a-time discipline as khop, but the
+    frontier carries its source label so all BFS trees advance in one
+    join per round — k joins total, not k x n. The radius truncation
+    is what makes this a 100-TB operator: an untruncated all-pairs
+    closure is O(n^2) rows, while radius-k neighborhoods grow with the
+    k-ball size; per-round frames are localCheckpointed so the plan
+    stays k-join-deep, not exponentially nested."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        e.select(F.col("src").alias("root"))
+        .distinct()
+        .select("root", F.col("root").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_k + 1):
+        nxt = (
+            frontier.select("root", F.col("node").alias("src"))
+            .join(e, "src")
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.filter(F.col("dist") > 0).select(
+        F.col("root").alias("src"), "node", "dist"
+    )
+
+
+def harmonic_centrality(edges: DataFrame, max_k: int) -> DataFrame:
+    """Radius-truncated harmonic centrality: for each node, the count
+    of nodes first reached at each distance d <= max_k and the harmonic
+    score sum(n_d / d) — the standard bounded variant used on graphs
+    too large for exact all-pairs closeness. The per-distance counts
+    are exact integers and the score is folded in FIXED ascending-d
+    order, so the double result is bit-reproducible and a SQL oracle
+    can match it exactly (one IEEE division + add per distance)."""
+    hops = all_pairs_hops(edges, max_k)
+    counts = hops.groupBy(F.col("src").alias("node")).pivot(
+        "dist", list(range(1, max_k + 1))
+    ).count().na.fill(0)
+    score = F.lit(0.0)
+    reach = F.lit(0).cast("long")
+    for d in range(1, max_k + 1):
+        n_d = F.coalesce(F.col(str(d)).cast("long"), F.lit(0))
+        reach = reach + n_d
+        score = score + n_d.cast("double") / F.lit(float(d))
+    return counts.select(
+        "node", reach.alias("n_reach"), score.alias("harmonic")
+    )
+
+
 def cooccurrence_edges(
     page_entities: DataFrame,
     max_entities_per_page: int = 64,
@@ -410,6 +475,106 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Web link graph — hyperlink extraction from raw HTML (Common-Crawl shape)
+# ---------------------------------------------------------------------------
+# The web-graph side of a crawl corpus: <a href> anchors pulled out of
+# the html bytes with one regexp pass (zero shuffle, whole-stage
+# codegen), hrefs resolved to absolute urls (absolute / protocol-
+# relative / root-relative; mailto:/javascript:/empty dropped),
+# canonicalized with the SAME battery the crawl-frontier dedup uses
+# (kgforge.operators.dedup.canonical_url_col), then aggregated to a
+# host-level edge list — the exact artifact Common Crawl publishes as
+# its host-level web graph. 100-TB posture: extraction + resolution
+# never shuffle; the only exchange is the host-pair aggregation, whose
+# key cardinality is hosts², orders of magnitude below pages, with
+# map-side partial aggregation soaking the per-page fan-in.
+
+_ANCHOR_RE = r'<a href="([^"]*)">([^<]*)</a>'
+_HOST_RE = "^https?://([^/]+)"
+
+
+def extract_hyperlinks(pages: DataFrame, html_col: str = "html",
+                       url_col: str = "url") -> DataFrame:
+    """pages -> (src_url, src_host, href, anchor): one row per <a>
+    anchor in the decoded html. Both capture groups are pulled with
+    regexp_extract_all and re-zipped positionally, so href and its
+    anchor text stay paired without a parser UDF."""
+    html = F.decode(F.col(html_col), "UTF-8")
+    pat = F.lit(_ANCHOR_RE)
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.regexp_extract(F.col(url_col), _HOST_RE, 1).alias("src_host"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(html, pat, F.lit(1)).alias("href"),
+                F.regexp_extract_all(html, pat, F.lit(2)).alias("anchor"),
+            )
+        ).alias("a"),
+    ).select(
+        "src_url", "src_host",
+        F.col("a.href").alias("href"),
+        F.col("a.anchor").alias("anchor"),
+    )
+
+
+def resolve_links(links: DataFrame, base_host_col: str = "src_host") -> DataFrame:
+    """(…, href) -> (…, dst_url, dst_host): href resolved against the
+    source page. Absolute http(s) kept as-is, protocol-relative '//'
+    gets the https scheme, root-relative '/' joins the source host;
+    every other scheme (mailto:, javascript:, fragments, empty) is a
+    non-navigational link and is dropped. The resolved url goes through
+    the crawl canonicalization battery so the link graph and the crawl
+    frontier agree on url identity."""
+    from kgforge.operators.dedup import canonical_url_col
+
+    href = F.col("href")
+    absu = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .when(href.startswith("/"), F.concat(
+            F.lit("https://"), F.col(base_host_col), href))
+    )
+    return (
+        links.withColumn("dst_url", canonical_url_col(absu))
+        .filter(F.col("dst_url").isNotNull())
+        .withColumn("dst_host", F.regexp_extract("dst_url", _HOST_RE, 1))
+    )
+
+
+def host_graph(resolved: DataFrame) -> DataFrame:
+    """Resolved links -> host-level weighted edge list:
+    (src_host, dst_host, n_links, n_pages distinct source pages).
+    The one shuffle in the family; host-pair keys are tiny and
+    partial-aggregated map-side."""
+    return resolved.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_url").alias("n_pages"),
+    )
+
+
+def host_degrees(host_edges: DataFrame) -> DataFrame:
+    """Host edge list -> per-host degree summary: distinct out/in
+    neighbor hosts and total out/in link counts. Two aggregations over
+    the (already tiny) host graph, merged with a full outer join so
+    sink-only and source-only hosts both appear."""
+    out_side = host_edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.countDistinct("dst_host").alias("out_hosts"),
+        F.sum("n_links").alias("n_out"),
+    )
+    in_side = host_edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.countDistinct("src_host").alias("in_hosts"),
+        F.sum("n_links").alias("n_in"),
+    )
+    return out_side.join(in_side, "host", "full_outer").select(
+        "host",
+        F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+        F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+        F.coalesce("n_out", F.lit(0)).alias("n_out"),
+        F.coalesce("n_in", F.lit(0)).alias("n_in"),
+    )
 
 
 def entity_graph(triples: DataFrame, preds: list[str]) -> DataFrame:

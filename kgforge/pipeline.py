@@ -1100,6 +1100,328 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# kg_centrality — radius-truncated harmonic centrality over the entity graph
+# ---------------------------------------------------------------------------
+
+CENTRALITY_K = 4  # BFS radius; the truncation that keeps all-pairs tractable
+
+
+def kg_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality over the entity co-occurrence
+    graph: for every entity, the number of entities first reached at
+    each undirected hop distance d <= CENTRALITY_K and the harmonic
+    score sum(n_d / d) — which entities sit closest to the rest of the
+    KG. The bounded radius is what makes all-pairs centrality runnable
+    at corpus scale (the k-ball, not n^2); counts are exact integers
+    and the score is folded in fixed ascending-d order, so the DuckDB
+    recursive-CTE oracle matches the doubles bit-for-bit (one IEEE
+    division + add per distance). Beyond the reference (no graph
+    analytics there; same family as kg_graph/kg_khop)."""
+    from kgforge.operators import graph as G
+
+    c = _candidates(spark, sf_dir)
+    pe = c.filter(F.col("kind") == "entity").select(
+        "url", F.col("canonical_id").alias("entity")
+    )
+    edges = G.cooccurrence_edges(pe, min_jaccard=COOC_MIN_JACCARD)
+    bidir = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return (
+        G.harmonic_centrality(bidir, CENTRALITY_K)
+        .select("node", F.col("n_reach").cast("long").alias("n_reach"), "harmonic")
+        .orderBy("node")
+    )
+
+
+ORACLE_KG_CENTRALITY = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS},
+page_entities AS (SELECT DISTINCT url, canonical_id AS entity
+                  FROM mentions JOIN dict USING (surface)),
+eligible AS (SELECT url FROM page_entities GROUP BY url HAVING COUNT(*) <= 64),
+pe AS (SELECT p.url, p.entity FROM page_entities p
+       JOIN eligible e ON e.url = p.url),
+cnt AS (SELECT entity, COUNT(*) AS n_pages FROM pe GROUP BY entity),
+pair AS (
+  SELECT pa.entity AS a, pb.entity AS b, COUNT(*) AS support
+  FROM pe pa JOIN pe pb ON pa.url = pb.url AND pa.entity < pb.entity
+  GROUP BY pa.entity, pb.entity
+),
+edges AS (
+  SELECT a, b FROM pair
+  JOIN cnt ca ON ca.entity = pair.a
+  JOIN cnt cb ON cb.entity = pair.b
+  WHERE CAST(support AS DOUBLE) / (ca.n_pages + cb.n_pages - support) >= {COOC_MIN_JACCARD}
+),
+bidir AS (SELECT a AS src, b AS dst FROM edges
+          UNION ALL SELECT b, a FROM edges),
+walk(root, node, dist) AS (
+  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM bidir)
+  UNION
+  SELECT w.root, e.dst, w.dist + 1
+  FROM walk w JOIN bidir e ON e.src = w.node
+  WHERE w.dist < {CENTRALITY_K}
+),
+mind AS (SELECT root, node, MIN(dist) AS d FROM walk GROUP BY root, node),
+bkt AS (
+  SELECT root,
+         COUNT(*) FILTER (WHERE d = 1) AS n1,
+         COUNT(*) FILTER (WHERE d = 2) AS n2,
+         COUNT(*) FILTER (WHERE d = 3) AS n3,
+         COUNT(*) FILTER (WHERE d = 4) AS n4
+  FROM mind WHERE d >= 1 GROUP BY root
+)
+SELECT root AS node,
+       CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_reach,
+       CAST(n1 AS DOUBLE) / 1.0 + CAST(n2 AS DOUBLE) / 2.0
+         + CAST(n3 AS DOUBLE) / 3.0 + CAST(n4 AS DOUBLE) / 4.0 AS harmonic
+FROM bkt ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# kg_linkgraph — the web-graph side of the crawl corpus
+# ---------------------------------------------------------------------------
+# Pages carry deterministic <a href> anchors (absolute-with-tracking,
+# protocol-relative, root-relative, plus a mailto: the resolver must
+# drop on every 7th page); the operator family in
+# kgforge/operators/graph.py pulls them out of the html BYTES with one
+# regexp pass, resolves + canonicalizes them with the crawl-frontier
+# battery (kgforge.operators.dedup.canonical_url_col), and aggregates
+# the host-level edge list, per-host degrees, and per-target-host
+# anchor-text term counts — the artifacts Common Crawl publishes as its
+# host web graph. The DuckDB oracle builds the SAME html string and
+# re-runs extraction/resolution/aggregation independently, so regex,
+# resolution rules, and canonicalization are all hash-verified.
+
+LINK_HOSTS = 20  # target-host pool == the corpus's real src0..src19 hosts
+
+
+def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (url, html binary) where the html embeds anchors:
+    a1 absolute + utm tracking + fragment, a2 protocol-relative,
+    a3 root-relative (resolves to the page's own host), a4 mailto:
+    on every 7th page (non-navigational; resolver must drop it).
+    Targets are doc-id-derived so the host graph connects the corpus's
+    real hosts with varied weights at every sf."""
+    d = read_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    topics = F.array(F.lit("spark"), F.lit("query"), F.lit("join"), F.lit("hash"))
+
+    def topic(x):
+        return F.element_at(topics, ((x % 4) + 1).cast("int"))
+
+    t1 = did * 7 + 3
+    t2 = did * 11 + 5
+    a1 = F.concat(
+        F.lit('<a href="https://src'), (t1 % LINK_HOSTS).cast("string"),
+        F.lit(".example.com/doc/"), t1.cast("string"),
+        F.lit('?utm_source=feed#top">read '), topic(t1), F.lit("</a>"),
+    )
+    a2 = F.concat(
+        F.lit('<a href="//src'), (t2 % LINK_HOSTS).cast("string"),
+        F.lit(".example.com/doc/"), t2.cast("string"),
+        F.lit('">more '), topic(t2), F.lit("</a>"),
+    )
+    a3 = F.concat(
+        F.lit('<a href="/doc/'), (did + 1).cast("string"),
+        F.lit('">next page</a>'),
+    )
+    a4 = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit('<a href="mailto:admin@src'), (did % LINK_HOSTS).cast("string"),
+            F.lit('.example.com">contact us</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit(HTML_PREFIX), F.col("text"),
+        F.lit("</p><ul><li>"), a1, F.lit("</li><li>"), a2,
+        F.lit("</li><li>"), a3, F.lit("</li>"), a4,
+        F.lit("</ul><footer>contact terms</footer></body></html>"),
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def _lg_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators import graph as G
+
+    return G.resolve_links(G.extract_hyperlinks(pages_with_links(spark, sf_dir)))
+
+
+def _lg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators import graph as G
+
+    return G.host_graph(_lg_resolved(spark, sf_dir))
+
+
+def _lg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators import graph as G
+
+    return G.host_degrees(G.host_graph(_lg_resolved(spark, sf_dir)))
+
+
+def _lg_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _lg_resolved(spark, sf_dir)
+        .select("dst_host", F.explode(F.split("anchor", " ")).alias("word"))
+        .groupBy("dst_host", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LG_SPECS_SPARK = [
+    ("lg_edges", _lg_edges, None, ["src_host", "dst_host"],
+     [("n_links", "n"), ("n_pages", "n")]),
+    ("lg_degrees", _lg_degrees, None, ["host"],
+     [("out_hosts", "n"), ("in_hosts", "n"), ("n_out", "n"), ("n_in", "n")]),
+    ("lg_anchors", _lg_anchors, None, ["dst_host", "word"], [("n", "n")]),
+]
+
+
+def kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators.relational import _compound
+
+    return _compound(spark, sf_dir, _LG_SPECS_SPARK)
+
+
+# the resolved-link relation both engines aggregate; the oracle builds
+# the identical html string and re-runs regex extraction + resolution
+_SQL_LG_RESOLVED = """
+WITH pages_html AS (
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+         '<html><head><title>d</title></head><body><nav>menu home about</nav><p>'
+           || text || '</p><ul><li>'
+           || '<a href="https://src' || CAST((doc_id*7+3) % 20 AS VARCHAR)
+              || '.example.com/doc/' || CAST(doc_id*7+3 AS VARCHAR)
+              || '?utm_source=feed#top">read '
+              || (['spark','query','join','hash'])[((doc_id*7+3) % 4) + 1] || '</a>'
+           || '</li><li>'
+           || '<a href="//src' || CAST((doc_id*11+5) % 20 AS VARCHAR)
+              || '.example.com/doc/' || CAST(doc_id*11+5 AS VARCHAR)
+              || '">more ' || (['spark','query','join','hash'])[((doc_id*11+5) % 4) + 1] || '</a>'
+           || '</li><li>'
+           || '<a href="/doc/' || CAST(doc_id+1 AS VARCHAR) || '">next page</a>'
+           || '</li>'
+           || CASE WHEN doc_id % 7 = 0 THEN
+                '<a href="mailto:admin@src' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.com">contact us</a>'
+              ELSE '' END
+           || '</ul><footer>contact terms</footer></body></html>' AS html
+  FROM documents
+),
+links_raw AS (
+  SELECT src_url,
+         regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+         UNNEST(regexp_extract_all(html, '<a href="([^"]*)">([^<]*)</a>', 1)) AS href,
+         UNNEST(regexp_extract_all(html, '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+  FROM pages_html
+),
+resolved0 AS (
+  SELECT src_url, src_host, anchor,
+         CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN href LIKE '//%' THEN 'https:' || href
+              WHEN href LIKE '/%' THEN 'https://' || src_host || href
+         END AS absu
+  FROM links_raw
+),
+canon0 AS (
+  SELECT src_url, src_host, anchor,
+         regexp_replace(regexp_replace(absu, '#.*$', ''),
+                        '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u2
+  FROM resolved0 WHERE absu IS NOT NULL
+),
+resolved AS (
+  SELECT src_url, src_host, anchor,
+         regexp_replace(
+           lower(regexp_extract(u2, '^[^/]*//[^/]*', 0))
+             || regexp_replace(u2, '^[^/]*//[^/]*', ''),
+           '/$', '') AS dst_url
+  FROM canon0
+),
+linkrel AS (
+  SELECT src_url, src_host, anchor, dst_url,
+         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+  FROM resolved
+)
+SELECT * FROM linkrel
+"""
+
+_SQL_LG_EDGES = f"""
+SELECT src_host, dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_pages
+FROM ({_SQL_LG_RESOLVED}) GROUP BY src_host, dst_host
+"""
+
+_SQL_LG_DEGREES = f"""
+WITH he AS (
+  SELECT src_host, dst_host, COUNT(*) AS n_links
+  FROM ({_SQL_LG_RESOLVED}) GROUP BY src_host, dst_host
+),
+o AS (SELECT src_host AS host, COUNT(DISTINCT dst_host) AS out_hosts,
+             SUM(n_links) AS n_out FROM he GROUP BY src_host),
+i AS (SELECT dst_host AS host, COUNT(DISTINCT src_host) AS in_hosts,
+             SUM(n_links) AS n_in FROM he GROUP BY dst_host)
+SELECT COALESCE(o.host, i.host) AS host,
+       CAST(COALESCE(out_hosts, 0) AS BIGINT) AS out_hosts,
+       CAST(COALESCE(in_hosts, 0) AS BIGINT) AS in_hosts,
+       CAST(COALESCE(n_out, 0) AS BIGINT) AS n_out,
+       CAST(COALESCE(n_in, 0) AS BIGINT) AS n_in
+FROM o FULL OUTER JOIN i ON o.host = i.host
+"""
+
+_SQL_LG_ANCHORS = f"""
+SELECT dst_host, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT dst_host, UNNEST(string_split(anchor, ' ')) AS word
+  FROM ({_SQL_LG_RESOLVED})
+) GROUP BY dst_host, word
+"""
+
+
+# ---------------------------------------------------------------------------
+# kg_meta — melted compound of the three small metadata emitters
+# ---------------------------------------------------------------------------
+# kg_harvest (site constants), kg_dictstats (ADD-style stats corpus) and
+# kg_report (per-pred reconciliation) are tiny frames; bundling them the
+# same way as the rel_* compounds frees driver-registry slots for
+# kg_linkgraph/kg_centrality while every original cell stays value-hash-
+# compared (the standalone queries remain registered in QUERIES for
+# bench and tools/verify_local.py --all-rel-style sweeps).
+
+
+def _dictstats_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'section' collides with the melt frame's own section column;
+    # rename on both engines before melting
+    return kg_dictstats(spark, sf_dir).withColumnRenamed("section", "sec")
+
+
+_KG_META_SPECS_SPARK = [
+    ("kg_harvest", None, None, ["pred"], [("subj", "s"), ("obj", "s")]),
+    ("kg_dictstats", _dictstats_keyed, None, ["sec", "item", "label"],
+     [("n", "n"), ("pct", "n")]),
+    ("kg_report", None, None, ["pred"],
+     [("n_triples", "n"), ("n_subjects", "n")]),
+]
+
+
+def kg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators.relational import _compound
+
+    specs = [
+        (sec, fn if fn is not None else QUERIES[sec], flt, keys, cells)
+        for sec, fn, flt, keys, cells in _KG_META_SPECS_SPARK
+    ]
+    return _compound(spark, sf_dir, specs)
+
+
 QUERIES = {
     "kg_extract": kg_extract,
     "kg_mentions": kg_mentions,
@@ -1116,6 +1438,9 @@ QUERIES = {
     "kg_graph": kg_graph,
     "kg_assoc": kg_assoc,
     "kg_khop": kg_khop,
+    "kg_centrality": kg_centrality,
+    "kg_linkgraph": kg_linkgraph,
+    "kg_meta": kg_meta,
 }
 
 ORACLES = {
@@ -1134,4 +1459,44 @@ ORACLES = {
     "kg_graph": ORACLE_KG_GRAPH,
     "kg_assoc": ORACLE_KG_ASSOC,
     "kg_khop": ORACLE_KG_KHOP,
+    "kg_centrality": ORACLE_KG_CENTRALITY,
+}
+
+
+def _build_compound_oracles() -> None:
+    from kgforge.operators.relational import _compound_sql
+
+    ORACLES["kg_linkgraph"] = _compound_sql(
+        [
+            ("lg_edges", _SQL_LG_EDGES, None, ["src_host", "dst_host"],
+             [("n_links", "n"), ("n_pages", "n")]),
+            ("lg_degrees", _SQL_LG_DEGREES, None, ["host"],
+             [("out_hosts", "n"), ("in_hosts", "n"), ("n_out", "n"), ("n_in", "n")]),
+            ("lg_anchors", _SQL_LG_ANCHORS, None, ["dst_host", "word"],
+             [("n", "n")]),
+        ]
+    )
+    ORACLES["kg_meta"] = _compound_sql(
+        [
+            ("kg_harvest", ORACLE_KG_HARVEST, None, ["pred"],
+             [("subj", "s"), ("obj", "s")]),
+            ("kg_dictstats",
+             f"SELECT section AS sec, item, label, n, pct FROM ({ORACLE_KG_DICTSTATS})",
+             None, ["sec", "item", "label"], [("n", "n"), ("pct", "n")]),
+            ("kg_report", ORACLE_KG_REPORT, None, ["pred"],
+             [("n_triples", "n"), ("n_subjects", "n")]),
+        ]
+    )
+
+
+_build_compound_oracles()
+
+# The driver records ~50 CORRECTNESS rows per round; the three small
+# metadata emitters ride as the kg_meta compound in the driver-facing
+# registry (their standalones stay in QUERIES for bench/local sweeps),
+# funding slots for kg_linkgraph and kg_centrality.
+DRIVER_QUERIES = {
+    k: v
+    for k, v in QUERIES.items()
+    if k not in ("kg_harvest", "kg_dictstats", "kg_report")
 }

@@ -283,3 +283,176 @@ def test_label_propagation_deterministic_across_partitioning(spark):
     r1 = sorted((r["node"], r["label"]) for r in label_propagation(df1).collect())
     r16 = sorted((r["node"], r["label"]) for r in label_propagation(df16).collect())
     assert r1 == r16
+
+
+# ---------------------------------------------------------------------------
+# Web link graph: extraction, resolution, host aggregation, centrality
+# ---------------------------------------------------------------------------
+
+LG_PAGES = [
+    # page on host a.com: absolute w/ tracking+fragment, protocol-relative,
+    # root-relative, and a mailto that must be dropped
+    ("https://a.com/p/1",
+     '<p>x</p><a href="https://b.com/d/9?utm_source=x#frag">read spark</a>'
+     '<a href="//c.com/d/2">more query</a>'
+     '<a href="/d/3">next page</a>'
+     '<a href="mailto:x@a.com">contact us</a>'),
+    # page on b.com: two links to the same canonical target (tracking
+    # variants) plus a trailing-slash variant of a.com's page
+    ("https://b.com/p/2",
+     '<a href="https://b.com/d/9?utm_campaign=y">read hash</a>'
+     '<a href="https://b.com/d/9#top">read join</a>'
+     '<a href="https://a.com/p/1/">back home</a>'),
+    ("https://c.com/p/3", "<p>no links here</p>"),
+]
+
+
+@pytest.fixture(scope="module")
+def lg_pages_df(spark):
+    return spark.createDataFrame(LG_PAGES, "url string, body string").select(
+        "url", F.encode("body", "UTF-8").alias("html")
+    )
+
+
+def test_extract_hyperlinks_pairs_href_with_anchor(spark, lg_pages_df):
+    from kgforge.operators.graph import extract_hyperlinks
+
+    got = sorted(
+        (r["src_url"], r["href"], r["anchor"])
+        for r in extract_hyperlinks(lg_pages_df).collect()
+    )
+    assert ("https://a.com/p/1", "mailto:x@a.com", "contact us") in got
+    assert ("https://a.com/p/1", "/d/3", "next page") in got
+    assert ("https://b.com/p/2", "https://b.com/d/9#top", "read join") in got
+    assert len(got) == 7  # the no-links page contributes nothing
+
+
+def test_resolve_links_schemes_and_canonicalization(spark, lg_pages_df):
+    from kgforge.operators.graph import extract_hyperlinks, resolve_links
+
+    r = resolve_links(extract_hyperlinks(lg_pages_df))
+    got = sorted((x["src_url"], x["dst_url"]) for x in r.collect())
+    # mailto dropped: 7 raw anchors -> 6 navigational links
+    assert len(got) == 6
+    # absolute w/ tracking + fragment canonicalized
+    assert ("https://a.com/p/1", "https://b.com/d/9") in got
+    # protocol-relative gains https scheme
+    assert ("https://a.com/p/1", "https://c.com/d/2") in got
+    # root-relative resolves against the source host
+    assert ("https://a.com/p/1", "https://a.com/d/3") in got
+    # trailing slash stripped by the crawl battery
+    assert ("https://b.com/p/2", "https://a.com/p/1") in got
+    # both b.com/d/9 tracking variants collapse to one canonical url
+    assert sum(1 for _, d in got if d == "https://b.com/d/9") == 3
+
+
+def test_host_graph_and_degrees_reconcile(spark, lg_pages_df):
+    from kgforge.operators.graph import (
+        extract_hyperlinks,
+        host_degrees,
+        host_graph,
+        resolve_links,
+    )
+
+    he = host_graph(resolve_links(extract_hyperlinks(lg_pages_df)))
+    edges = {(r["src_host"], r["dst_host"]): (r["n_links"], r["n_pages"])
+             for r in he.collect()}
+    assert edges[("a.com", "b.com")] == (1, 1)
+    assert edges[("b.com", "b.com")] == (2, 1)  # self-host links kept
+    deg = {r["host"]: r for r in host_degrees(he).collect()}
+    # link mass conserved: every link leaves one host and enters one
+    assert sum(r["n_out"] for r in deg.values()) == 6
+    assert sum(r["n_in"] for r in deg.values()) == 6
+    # c.com never links out but is linked to: full-outer keeps it
+    assert deg["c.com"]["n_out"] == 0 and deg["c.com"]["n_in"] == 1
+    assert deg["a.com"]["out_hosts"] == 3  # a.com, b.com, c.com
+
+
+def test_all_pairs_hops_minimality_and_truncation(spark):
+    from kgforge.operators.graph import all_pairs_hops
+
+    # path graph 0->1->2->3 plus shortcut 0->2
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], "src long, dst long"
+    )
+    got = {(r["src"], r["node"]): r["dist"] for r in all_pairs_hops(e, 3).collect()}
+    assert got[(0, 2)] == 1  # shortcut wins over 0->1->2
+    assert got[(0, 3)] == 2
+    assert got[(1, 3)] == 2
+    truncated = {
+        (r["src"], r["node"]): r["dist"]
+        for r in all_pairs_hops(e, 1).collect()
+    }
+    assert (0, 3) not in truncated and truncated[(0, 1)] == 1
+
+
+def _ref_harmonic(edges, max_k):
+    """Independent pure-Python truncated harmonic centrality."""
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    out = {}
+    for root in adj:
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_k:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        counts = [0] * (max_k + 1)
+        for v, dv in dist.items():
+            if v != root:
+                counts[dv] += 1
+        score = 0.0
+        for d in range(1, max_k + 1):
+            score = score + counts[d] / float(d)
+        out[root] = (sum(counts[1:]), score)
+    return out
+
+
+def test_harmonic_centrality_matches_reference(spark):
+    from kgforge.operators.graph import harmonic_centrality
+
+    edges = [
+        (a, b)
+        for a in range(12)
+        for b in range(12)
+        if a != b and (a * 7 + b * 5) % 11 < 3
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["n_reach"], r["harmonic"])
+        for r in harmonic_centrality(df, 4).collect()
+    }
+    want = _ref_harmonic(edges, 4)
+    assert set(got) == set(want)
+    for node, (nr, sc) in want.items():
+        assert got[node][0] == nr, node
+        assert got[node][1] == pytest.approx(sc, abs=1e-12), node
+
+
+def test_pagerank_over_host_graph(spark, lg_pages_df):
+    """The link-graph family feeds the existing PageRank: hosts with
+    more inbound mass rank higher."""
+    from kgforge.operators.graph import (
+        extract_hyperlinks,
+        host_graph,
+        pagerank,
+        resolve_links,
+    )
+
+    he = host_graph(resolve_links(extract_hyperlinks(lg_pages_df)))
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            he.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        ).collect()
+    }
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert ranks["b.com"] > ranks["c.com"]  # b.com has 2 inbound hosts

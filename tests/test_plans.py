@@ -399,3 +399,40 @@ def test_range_join_is_binned_equi_not_nested_loop(spark, sf001):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_linkgraph_extraction_zero_shuffle_codegen(spark, sf001):
+    """Hyperlink extraction + resolution + canonicalization is one
+    codegen pass over the page scan: no exchange, no Python eval —
+    regex and string rewrites all JVM-side."""
+    from kgforge.operators.graph import extract_hyperlinks, resolve_links
+    from kgforge.pipeline import pages_with_links
+
+    plan = plan_of(resolve_links(extract_hyperlinks(pages_with_links(spark, sf001))))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Batched: true" in plan
+
+
+def test_linkgraph_compound_no_cartesian(spark, sf001):
+    from kgforge.pipeline import kg_linkgraph
+
+    plan = plan_of(kg_linkgraph(spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_host_graph_partial_aggregation(spark, sf001):
+    """The host-pair rollup must partial-aggregate map-side (two
+    HashAggregates around one exchange), so per-page link fan-in is
+    soaked before the shuffle — the property that keeps the edge-list
+    build viable when pages >> host pairs."""
+    from kgforge.operators.graph import extract_hyperlinks, host_graph, resolve_links
+    from kgforge.pipeline import pages_with_links
+
+    df = host_graph(
+        resolve_links(extract_hyperlinks(pages_with_links(spark, sf001)))
+    ).drop("n_pages")  # count-distinct plans its own expand; degree path
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
