@@ -75,12 +75,15 @@ def main() -> int:
 
     qs, oracles = dict(se.queries()), dict(se.oracle_sql())
     if all_rel:
-        # also sweeps the tx_* standalones folded into tx_stats (same
-        # rationale as the relational compounds: the bundles are what
-        # the driver records, the standalones stay verifiable here)
+        # also sweeps the tx_* standalones folded into tx_stats and the
+        # kg_harvest/kg_dictstats/kg_report standalones folded into
+        # kg_meta (same rationale as the relational compounds: the
+        # bundles are what the driver records, the standalones stay
+        # verifiable here)
+        from kgforge import pipeline
         from kgforge.operators import dedup, relational, similarity, textstats
 
-        for mod in (relational, textstats, dedup, similarity):
+        for mod in (relational, textstats, dedup, similarity, pipeline):
             for name, fn in mod.QUERIES.items():
                 qs.setdefault(name, fn)
             for name, sql in mod.ORACLES.items():
