@@ -555,6 +555,35 @@ def host_graph(resolved: DataFrame) -> DataFrame:
     )
 
 
+def collapse_redirects(redirects: DataFrame, max_pow: int = 3) -> DataFrame:
+    """redirects(src, dst) — a functional mapping (each src has exactly
+    one dst; chains end at a dst that is not itself a src) -> one row
+    per src: (src, final_url, hops). Pointer doubling: each round
+    substitutes the current target's own mapping, so after k rounds
+    every chain of length <= 2^k is collapsed — O(log chain) equi-joins
+    instead of a chain-length walk, the same idiom as the ontology
+    hierarchy propagation (rel_hierarchy_propagation). At crawl scale
+    this is the redirect-resolution pass the frontier runs before
+    fetch dedup; chains are short (HTTP clients cap at ~10 hops), so
+    max_pow=4 covers reality and each round is one self-join on the
+    url key."""
+    f = redirects.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
+    )
+    for _ in range(max_pow):
+        g = f.select(
+            F.col("src").alias("g_src"),
+            F.col("cur").alias("g_cur"),
+            F.col("hops").alias("g_hops"),
+        )
+        f = f.join(g, f["cur"] == g["g_src"], "left").select(
+            "src",
+            F.coalesce("g_cur", "cur").alias("cur"),
+            (F.col("hops") + F.coalesce("g_hops", F.lit(0))).alias("hops"),
+        )
+    return f.select("src", F.col("cur").alias("final_url"), "hops")
+
+
 def host_degrees(host_edges: DataFrame) -> DataFrame:
     """Host edge list -> per-host degree summary: distinct out/in
     neighbor hosts and total out/in link counts. Two aggregations over

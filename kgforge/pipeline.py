@@ -1277,12 +1277,46 @@ def _lg_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lg_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic redirect relation: every doc id owns a redirect
+    node r/{d} that points to r/{d-1}, except multiples of 8 which
+    terminate at the real page doc/{d} — chains of 1..8 hops at every
+    sf, so the collapse has real depth to resolve."""
+    d = read_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    src = F.concat(
+        F.lit("https://src"), (did % LINK_HOSTS).cast("string"),
+        F.lit(".example.com/r/"), did.cast("string"),
+    )
+    dst = F.when(
+        did % 8 == 0,
+        F.concat(
+            F.lit("https://src"), (did % LINK_HOSTS).cast("string"),
+            F.lit(".example.com/doc/"), did.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://src"), ((did - 1) % LINK_HOSTS).cast("string"),
+            F.lit(".example.com/r/"), (did - 1).cast("string"),
+        )
+    )
+    return d.select(src.alias("src"), dst.alias("dst"))
+
+
+def _lg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators import graph as G
+
+    return G.collapse_redirects(_lg_redirect_map(spark, sf_dir))
+
+
 _LG_SPECS_SPARK = [
     ("lg_edges", _lg_edges, None, ["src_host", "dst_host"],
      [("n_links", "n"), ("n_pages", "n")]),
     ("lg_degrees", _lg_degrees, None, ["host"],
      [("out_hosts", "n"), ("in_hosts", "n"), ("n_out", "n"), ("n_in", "n")]),
     ("lg_anchors", _lg_anchors, None, ["dst_host", "word"], [("n", "n")]),
+    ("lg_redirects", _lg_redirects, None, ["src"],
+     [("final_url", "s"), ("hops", "n")]),
 ]
 
 
@@ -1385,6 +1419,31 @@ SELECT dst_host, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
 ) GROUP BY dst_host, word
 """
 
+# recursive walk to the chain terminal — the independent check on the
+# pointer-doubling collapse
+_SQL_LG_REDIRECTS = """
+WITH RECURSIVE redir AS (
+  SELECT 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/r/' || CAST(doc_id AS VARCHAR) AS src,
+         CASE WHEN doc_id % 8 = 0 THEN
+           'https://src' || CAST(doc_id % 20 AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+         ELSE
+           'https://src' || CAST((doc_id - 1) % 20 AS VARCHAR)
+             || '.example.com/r/' || CAST(doc_id - 1 AS VARCHAR)
+         END AS dst
+  FROM documents
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM redir
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1
+  FROM walk w JOIN redir r ON r.src = w.cur
+)
+SELECT src, cur AS final_url, hops
+FROM walk WHERE cur NOT IN (SELECT src FROM redir)
+"""
+
 
 # ---------------------------------------------------------------------------
 # kg_meta — melted compound of the three small metadata emitters
@@ -1474,6 +1533,8 @@ def _build_compound_oracles() -> None:
              [("out_hosts", "n"), ("in_hosts", "n"), ("n_out", "n"), ("n_in", "n")]),
             ("lg_anchors", _SQL_LG_ANCHORS, None, ["dst_host", "word"],
              [("n", "n")]),
+            ("lg_redirects", _SQL_LG_REDIRECTS, None, ["src"],
+             [("final_url", "s"), ("hops", "n")]),
         ]
     )
     ORACLES["kg_meta"] = _compound_sql(

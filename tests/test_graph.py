@@ -456,3 +456,30 @@ def test_pagerank_over_host_graph(spark, lg_pages_df):
     }
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
     assert ranks["b.com"] > ranks["c.com"]  # b.com has 2 inbound hosts
+
+
+def test_collapse_redirects_pointer_doubling(spark):
+    from kgforge.operators.graph import collapse_redirects
+
+    # chain a->b->c->d->T (4 hops) plus a 1-hop x->T2
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "T"), ("x", "T2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["src"]: (r["final_url"], r["hops"])
+           for r in collapse_redirects(df, max_pow=2).collect()}
+    # max_pow=2 collapses chains up to 2^2 = 4 hops
+    assert got["a"] == ("T", 4)
+    assert got["b"] == ("T", 3)
+    assert got["d"] == ("T", 1)
+    assert got["x"] == ("T2", 1)
+
+
+def test_collapse_redirects_needs_enough_rounds(spark):
+    """The doubling bound is real: a 4-hop chain does NOT fully
+    collapse in one round (2^1 = 2 hops max)."""
+    from kgforge.operators.graph import collapse_redirects
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "T")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["src"]: (r["final_url"], r["hops"])
+           for r in collapse_redirects(df, max_pow=1).collect()}
+    assert got["a"] == ("c", 2)  # stalled mid-chain after one doubling
