@@ -567,19 +567,27 @@ def collapse_redirects(redirects: DataFrame, max_pow: int = 3) -> DataFrame:
     fetch dedup; chains are short (HTTP clients cap at ~10 hops), so
     max_pow=4 covers reality and each round is one self-join on the
     url key."""
+    # localCheckpoint per round: the doubling join uses f on BOTH sides
+    # with different join keys, so without a lineage cut each round
+    # doubles the number of times the leaf is recomputed (2^k scans by
+    # round k) — the same cut discipline as khop/pagerank
     f = redirects.select(
         "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_pow):
         g = f.select(
             F.col("src").alias("g_src"),
             F.col("cur").alias("g_cur"),
             F.col("hops").alias("g_hops"),
         )
-        f = f.join(g, f["cur"] == g["g_src"], "left").select(
-            "src",
-            F.coalesce("g_cur", "cur").alias("cur"),
-            (F.col("hops") + F.coalesce("g_hops", F.lit(0))).alias("hops"),
+        f = (
+            f.join(g, f["cur"] == g["g_src"], "left")
+            .select(
+                "src",
+                F.coalesce("g_cur", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce("g_hops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
         )
     return f.select("src", F.col("cur").alias("final_url"), "hops")
 
