@@ -65,7 +65,8 @@ def synth_docs(spark, n_docs: int, out: str) -> None:
 
 
 GAUNTLET = (
-    "redact_gates", "pack", "dd_exact", "dd_passage", "decontam", "dd_substr"
+    "redact_gates", "pack", "dd_exact", "dd_passage", "decontam", "dd_substr",
+    "linkgraph",
 )
 
 
@@ -76,7 +77,13 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
 
     from kgforge.operators.dedup import passage_dedup, substr_dedup
+    from kgforge.operators.graph import (
+        extract_hyperlinks as _extract,
+        host_graph as _host_graph,
+        resolve_links as _resolve,
+    )
     from kgforge.operators.textstats import _sample_cols, decontam, pack_docs, redact
+    from kgforge.pipeline import pages_with_links_from as _pages_links
 
     def exact(d):
         # the frame form of dd_exact (dedup.py), minus the test-clone seeding
@@ -113,6 +120,12 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
         "dd_substr": lambda: substr_dedup(
             docs.select("doc_id", F.split("text", " ").alias("ws"))
         ),
+        # web link graph: anchor extraction from html bytes -> URL
+        # resolution/canonicalization -> host-pair rollup; sum(n_links)
+        # catches any extraction or resolution drift across levels
+        "linkgraph": lambda: _host_graph(
+            _resolve(_extract(_pages_links(docs)))
+        ),
     }
     # per-op checksum column: summing a value column catches bugs a bare
     # row count cannot (e.g. sum(start_off) changes if the packing
@@ -124,6 +137,7 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
         "dd_passage": "n_occ",
         "decontam": "n_contam_grams",
         "dd_substr": "n_covered",
+        "linkgraph": "n_links",
     }
     timings, counts = {}, {}
     for name in GAUNTLET:
@@ -211,7 +225,7 @@ def main() -> int:
         tput_l = args.docs / large["wall_sec"]
         eff = tput_l / (4 * tput_s)
         summary = {
-            "job": "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, decontam, dd_substr)",
+            "job": "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, decontam, dd_substr, linkgraph)",
             "docs": args.docs, "n_small": args.n, "n_large": 4 * args.n,
             "wall_small": small["wall_sec"], "wall_large": large["wall_sec"],
             "tput_small_docs_per_sec": round(tput_s, 1),

@@ -1198,14 +1198,15 @@ FROM bkt ORDER BY node
 LINK_HOSTS = 20  # target-host pool == the corpus's real src0..src19 hosts
 
 
-def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (url, html binary) where the html embeds anchors:
-    a1 absolute + utm tracking + fragment, a2 protocol-relative,
-    a3 root-relative (resolves to the page's own host), a4 mailto:
-    on every 7th page (non-navigational; resolver must drop it).
-    Targets are doc-id-derived so the host graph connects the corpus's
-    real hosts with varied weights at every sf."""
-    d = read_table(spark, "documents", sf_dir)
+def pages_with_links_from(d: DataFrame) -> DataFrame:
+    """docs(doc_id, source, text) -> (url, html binary) where the html
+    embeds anchors: a1 absolute + utm tracking + fragment, a2
+    protocol-relative, a3 root-relative (resolves to the page's own
+    host), a4 mailto: on every 7th page (non-navigational; resolver
+    must drop it). Targets are doc-id-derived so the host graph
+    connects the corpus's real hosts with varied weights at every
+    scale. Frame-level so the N-vs-4N scaling gauntlet
+    (BENCH/scaling_text.py) can drive it over its synthesized corpus."""
     did = F.col("doc_id")
     topics = F.array(F.lit("spark"), F.lit("query"), F.lit("join"), F.lit("hash"))
 
@@ -1248,6 +1249,10 @@ def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         F.encode(html, "UTF-8").alias("html"),
     )
+
+
+def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_with_links_from(read_table(spark, "documents", sf_dir))
 
 
 def _lg_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
