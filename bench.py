@@ -63,6 +63,7 @@ HEADLINE = [
     "dd_lines",
     "dd_substr",
     "dd_clusters",
+    "dd_snapshots",
     "rel_scd2",
     "mm_meta",
     "mm_frames",

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -1067,6 +1067,110 @@ ORDER BY d.doc_id
 """
 
 
+SNAPSHOT_EPOCH0 = 1_704_067_200  # 2024-01-01T00:00:00Z
+SNAPSHOT_GAP_S = 2_592_000       # 30 days between recrawls of a url
+
+
+def recrawl_snapshots(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, source, text) -> synthetic recrawl history
+    (url, crawl_no, ts_epoch, content_md5): every url is fetched
+    1 + doc_id%3 times 30 days apart, and snapshot c>0 rewrites the
+    page (appends ' rev{c}') exactly when (doc_id + c) % 2 == 0 — so
+    histories include never-changed, changed-then-stable, and
+    changed-then-reverted shapes at every sf. Content is hashed
+    MAP-SIDE (md5); full text never reaches the snapshot shuffle."""
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        did.cast("string"),
+    )
+    snaps = docs.select(
+        did.alias("doc_id"), url.alias("url"), "text",
+        F.explode(
+            F.sequence(F.lit(0), (did % 3).cast("int"))
+        ).alias("crawl_no"),
+    )
+    c = F.col("crawl_no")
+    rev = F.when(
+        (c > 0) & ((F.col("doc_id") + c) % 2 == 0),
+        F.concat(F.lit(" rev"), c.cast("string")),
+    ).otherwise(F.lit(""))
+    return snaps.select(
+        "url",
+        c.cast("long").alias("crawl_no"),
+        (
+            F.lit(SNAPSHOT_EPOCH0)
+            + (F.col("doc_id") % 365) * 86400
+            + c.cast("long") * SNAPSHOT_GAP_S
+        ).cast("long").alias("ts_epoch"),
+        F.md5(F.concat(F.col("text"), rev)).alias("content_md5"),
+    )
+
+
+def snapshot_dedup(snaps: DataFrame) -> DataFrame:
+    """Cross-crawl snapshot dedup — the keep-latest pass every
+    Common-Crawl-style corpus runs when the same url appears in
+    multiple crawls (reference analog: the latest-wins MERGE post-pass,
+    Oracle/PCORNetLoader_ora.sql:2451-2565, re-keyed to crawl history).
+    Per url: snapshot count, latest fetch (the kept version), distinct
+    content versions, and the change count from consecutive-hash
+    comparison (lag window).
+
+    Scale: ONE shuffle on url — the lag window partitions by url, and
+    the following per-url aggregation reuses that partitioning (urls
+    are unique keys, so there is no skew to salt); the shuffle rows are
+    (url, 8-byte epoch, 16-byte md5), never page bytes. At 10^12 docs
+    this is the same single-exchange shape as dd_exact."""
+    w = Window.partitionBy("url").orderBy("crawl_no")
+    prev = F.lag("content_md5").over(w)
+    ch = snaps.withColumn(
+        "changed",
+        (prev.isNotNull() & (F.col("content_md5") != prev)).cast("int"),
+    )
+    return (
+        ch.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.max("ts_epoch").cast("long").alias("latest_epoch"),
+            F.expr("max_by(content_md5, crawl_no)").alias("latest_md5"),
+            F.countDistinct("content_md5").cast("long").alias("n_versions"),
+            F.sum("changed").cast("long").alias("n_changes"),
+        )
+        .orderBy("url")
+    )
+
+
+def dd_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    return snapshot_dedup(recrawl_snapshots(d))
+
+
+ORACLE_DD_SNAPSHOTS = f"""
+WITH snaps AS (
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         c AS crawl_no,
+         {SNAPSHOT_EPOCH0} + (doc_id % 365) * 86400 + c * {SNAPSHOT_GAP_S} AS ts_epoch,
+         md5(text || CASE WHEN c > 0 AND (doc_id + c) % 2 = 0
+                          THEN ' rev' || CAST(c AS VARCHAR) ELSE '' END) AS content_md5
+  FROM documents, UNNEST(range(doc_id % 3 + 1)) AS t(c)
+),
+ch AS (
+  SELECT url, crawl_no, ts_epoch, content_md5,
+         CASE WHEN lag(content_md5) OVER (PARTITION BY url ORDER BY crawl_no) IS NOT NULL
+                   AND content_md5 <> lag(content_md5) OVER (PARTITION BY url ORDER BY crawl_no)
+              THEN 1 ELSE 0 END AS changed
+  FROM snaps
+)
+SELECT url,
+       CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+       CAST(MAX(ts_epoch) AS BIGINT) AS latest_epoch,
+       arg_max(content_md5, crawl_no) AS latest_md5,
+       CAST(COUNT(DISTINCT content_md5) AS BIGINT) AS n_versions,
+       CAST(SUM(changed) AS BIGINT) AS n_changes
+FROM ch GROUP BY url ORDER BY url
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # dd_exact / dd_passage / dd_url / dd_bloom melt into ONE registered
 # query (dd_stats) via the same machinery as the rel_*/tx_* compounds —
@@ -1105,6 +1209,11 @@ _DD_CELLS = {
         None, ["dup_id"],
         [("keeper_id", "n"), ("cos_keeper", "n"), ("n_above", "n"),
          ("cell", "n")],
+    ),
+    "dd_snapshots": (
+        None, ["url"],
+        [("n_snapshots", "n"), ("latest_epoch", "n"), ("latest_md5", "s"),
+         ("n_versions", "n"), ("n_changes", "n")],
     ),
 }
 
@@ -1147,6 +1256,7 @@ QUERIES = {
     "dd_lines": dd_lines,
     "dd_substr": dd_substr,
     "dd_clusters": dd_clusters,
+    "dd_snapshots": dd_snapshots,
 }
 
 # SemDeDup lives in similarity.py (it shares the embedding plumbing and
@@ -1174,6 +1284,7 @@ ORACLES = {
     "dd_substr": ORACLE_DD_SUBSTR,
     "dd_clusters": ORACLE_DD_CLUSTERS,
     "dd_semdedup": ORACLE_DD_SEMDEDUP,
+    "dd_snapshots": ORACLE_DD_SNAPSHOTS,
 }
 
 QUERIES["dd_stats"] = dd_stats

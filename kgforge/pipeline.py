@@ -1314,6 +1314,52 @@ def _lg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.collapse_redirects(_lg_redirect_map(spark, sf_dir))
 
 
+HOST_DUP_REVIEW_T = 0.15  # review a host when >15% of its pages are copies
+
+
+def _lg_hostprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus profile for RefinedWeb-style domain filtering:
+    per host, page count, distinct-content count, internal duplication
+    fraction, mean page length, and a keep/review decision. Hosts with
+    heavy internal duplication (mirror farms, templated spam) are the
+    first thing a web pipeline drops at the DOMAIN level before any
+    per-document work. Duplication is planted deterministically with a
+    SOURCE-DEPENDENT rate — host src{s} clones its pages at rate
+    (s%4)/10 over the within-host page index (doc_id div 20, since
+    source = src{doc_id%20}) — so keep and review hosts both exist at
+    every sf and the decision is never vacuous.
+
+    Scale: content is md5-hashed map-side; one hash-aggregation on
+    host. 10^12 docs over ~10^8 hosts is a plain partial-agg shuffle of
+    (host, 16-byte hash) — hub hosts make hot groups of cheap count
+    partials, the rel_salted_stats path exists if a single host ever
+    dominates a partition."""
+    d = read_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    src_idx = F.substring("source", 4, 8).cast("int")
+    clones = d.filter(
+        F.expr("(doc_id div 20) % 10") < (src_idx % 4)
+    ).select((F.col("doc_id") + 500000).alias("doc_id"), "source", "text")
+    corpus = d.unionByName(clones)
+    prof = corpus.groupBy(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    )
+    dup = (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs")
+    return prof.select(
+        "host",
+        "n_docs",
+        "n_unique",
+        dup.alias("dup_frac"),
+        (F.col("sum_chars") / F.col("n_docs")).alias("mean_chars"),
+        F.when(dup > HOST_DUP_REVIEW_T, F.lit("review"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+    )
+
+
 _LG_SPECS_SPARK = [
     ("lg_edges", _lg_edges, None, ["src_host", "dst_host"],
      [("n_links", "n"), ("n_pages", "n")]),
@@ -1322,6 +1368,9 @@ _LG_SPECS_SPARK = [
     ("lg_anchors", _lg_anchors, None, ["dst_host", "word"], [("n", "n")]),
     ("lg_redirects", _lg_redirects, None, ["src"],
      [("final_url", "s"), ("hops", "n")]),
+    ("lg_hostprofile", _lg_hostprofile, None, ["host"],
+     [("n_docs", "n"), ("n_unique", "n"), ("dup_frac", "n"),
+      ("mean_chars", "n"), ("decision", "s")]),
 ]
 
 
@@ -1449,6 +1498,31 @@ SELECT src, cur AS final_url, hops
 FROM walk WHERE cur NOT IN (SELECT src FROM redir)
 """
 
+# host-level duplication profile — identical clone planting + rollup
+_SQL_LG_HOSTPROFILE = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, source, text FROM documents
+  WHERE (doc_id // 20) % 10 < CAST(substr(source, 4) AS INT) % 4
+),
+prof AS (
+  SELECT source || '.example.com' AS host,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT md5(text)) AS n_unique,
+         SUM(length(text)) AS sum_chars
+  FROM corpus GROUP BY source
+)
+SELECT host,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       (n_docs - n_unique) / CAST(n_docs AS DOUBLE) AS dup_frac,
+       sum_chars / CAST(n_docs AS DOUBLE) AS mean_chars,
+       CASE WHEN (n_docs - n_unique) / CAST(n_docs AS DOUBLE) > {HOST_DUP_REVIEW_T}
+            THEN 'review' ELSE 'keep' END AS decision
+FROM prof
+"""
+
 
 # ---------------------------------------------------------------------------
 # kg_meta — melted compound of the three small metadata emitters
@@ -1540,6 +1614,9 @@ def _build_compound_oracles() -> None:
              [("n", "n")]),
             ("lg_redirects", _SQL_LG_REDIRECTS, None, ["src"],
              [("final_url", "s"), ("hops", "n")]),
+            ("lg_hostprofile", _SQL_LG_HOSTPROFILE, None, ["host"],
+             [("n_docs", "n"), ("n_unique", "n"), ("dup_frac", "n"),
+              ("mean_chars", "n"), ("decision", "s")]),
         ]
     )
     ORACLES["kg_meta"] = _compound_sql(

@@ -2103,3 +2103,89 @@ def test_gopher_rules_fire_both_ways(spark, sf001):
             assert r["sym_ratio"] <= 0.1
             assert r["bullet_frac"] <= math.ceil(nl / 4) / nl
             assert r["ellipsis_frac"] <= math.ceil(nl / 6) / nl
+
+
+# ---------------------------------------------------------------------------
+# dd_snapshots — cross-crawl keep-latest dedup + change tracking
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_dedup_history_shapes(spark):
+    """The three history shapes the synthesis plants: never-changed
+    (1 snapshot), changed-then-stable, and changed-then-reverted —
+    verified end-to-end from the raw docs frame."""
+    import hashlib
+
+    from kgforge.operators.dedup import recrawl_snapshots, snapshot_dedup
+
+    docs = spark.createDataFrame(
+        [(3, "src3", "alpha"), (2, "src2", "beta"), (5, "src5", "gamma")],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r["url"]: r
+        for r in snapshot_dedup(recrawl_snapshots(docs)).collect()
+    }
+    one = rows["https://src3.example.com/doc/3"]  # 1 + 3%3 = 1 snapshot
+    assert (one["n_snapshots"], one["n_versions"], one["n_changes"]) == (1, 1, 0)
+    assert one["latest_md5"] == hashlib.md5(b"alpha").hexdigest()
+
+    # doc 2: c=0,1,2; only c=2 rewrites ((2+2)%2==0) -> 2 versions, 1 change,
+    # latest content is 'beta rev2'
+    chg = rows["https://src2.example.com/doc/2"]
+    assert (chg["n_snapshots"], chg["n_versions"], chg["n_changes"]) == (3, 2, 1)
+    assert chg["latest_md5"] == hashlib.md5(b"beta rev2").hexdigest()
+
+    # doc 5: c=1 rewrites, c=2 reverts to base -> 2 versions but 2 CHANGES
+    # (the revert is a change even though the content was seen before)
+    rev = rows["https://src5.example.com/doc/5"]
+    assert (rev["n_snapshots"], rev["n_versions"], rev["n_changes"]) == (3, 2, 2)
+    assert rev["latest_md5"] == hashlib.md5(b"gamma").hexdigest()
+
+
+def test_snapshot_dedup_latest_epoch_is_last_crawl(spark, sf001):
+    from kgforge.operators.dedup import (
+        SNAPSHOT_EPOCH0,
+        SNAPSHOT_GAP_S,
+        dd_snapshots,
+    )
+
+    rows = dd_snapshots(spark, sf001).collect()
+    assert rows, "no snapshot histories at sf0.001"
+    for r in rows:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        assert r["n_snapshots"] == 1 + doc_id % 3
+        assert r["latest_epoch"] == (
+            SNAPSHOT_EPOCH0
+            + (doc_id % 365) * 86400
+            + (doc_id % 3) * SNAPSHOT_GAP_S
+        )
+        # change/version invariants: versions can never exceed snapshots,
+        # and each change needs a consecutive pair
+        assert 1 <= r["n_versions"] <= r["n_snapshots"]
+        assert r["n_changes"] <= r["n_snapshots"] - 1
+
+
+# ---------------------------------------------------------------------------
+# lg_hostprofile — host-level duplication rollup (domain filtering)
+# ---------------------------------------------------------------------------
+
+
+def test_hostprofile_decisions_both_classes(spark, sf01):
+    from kgforge.pipeline import HOST_DUP_REVIEW_T, _lg_hostprofile
+
+    rows = {r["host"]: r for r in _lg_hostprofile(spark, sf01).collect()}
+    assert len(rows) == 20
+    decisions = {r["decision"] for r in rows.values()}
+    assert decisions == {"keep", "review"}, decisions
+    for host, r in rows.items():
+        s = int(host.split(".")[0][3:])
+        k = s % 4
+        if k == 0:  # no planted clones -> fully unique host
+            assert r["dup_frac"] == 0.0 and r["decision"] == "keep"
+        else:
+            assert r["n_docs"] > r["n_unique"]
+        expected = "review" if r["dup_frac"] > HOST_DUP_REVIEW_T else "keep"
+        assert r["decision"] == expected
+        # mean length is internally consistent with the planted corpus
+        assert r["mean_chars"] > 0
