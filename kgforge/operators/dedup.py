@@ -815,10 +815,17 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
     100-TB shape: gram text never shuffles — each L-gram is hashed to
     8 bytes (xxhash64) map-side and only (doc_id, pos, hash) crosses
     the wire. Membership of each position in the duplicated set is a
-    hash SEMI-JOIN on the gram hash (the duplicated head of the
-    gram-frequency distribution broadcasts; if it outgrew a broadcast
-    the same plan degrades to a shuffle semi-join — still hashes only),
-    NOT an array_contains probe: a first cut carried the dup set as one
+    hash SEMI-JOIN on the gram hash with NO join hint: AQE picks the
+    physical strategy from the dup head's measured runtime size —
+    below the broadcast threshold it broadcasts (small corpora, the
+    oracle/test scales), above it the join degrades to a fully
+    parallel shuffle semi-join. A forced F.broadcast here was the
+    gauntlet's one remaining serial constant: at 4M docs the
+    duplicated head is O(10^7) hashes, so the collect +
+    torrent-rebroadcast through the driver cost the same tens of
+    seconds at every parallelism level and pinned dd_substr's N-vs-4N
+    efficiency at a stable 0.745 across two windows (v3/v4 runs,
+    BENCH/BASELINE.md). The probe is still NOT an array_contains scan: a first cut carried the dup set as one
     broadcast array row and scanned it per position, which is
     O(npos x |dup|) linear work per doc — 21.7s at sf0.1 vs ~1s for
     this shape. Duplicated positions come back per doc as a small int
@@ -856,7 +863,7 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
         .select("h")
     )
     dpos = (
-        ex.join(F.broadcast(dup), "h", "left_semi")
+        ex.join(dup, "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("dpos"))
     )
