@@ -815,17 +815,30 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
     100-TB shape: gram text never shuffles — each L-gram is hashed to
     8 bytes (xxhash64) map-side and only (doc_id, pos, hash) crosses
     the wire. Membership of each position in the duplicated set is a
-    hash SEMI-JOIN on the gram hash with NO join hint: AQE picks the
-    physical strategy from the dup head's measured runtime size —
-    below the broadcast threshold it broadcasts (small corpora, the
-    oracle/test scales), above it the join degrades to a fully
-    parallel shuffle semi-join. A forced F.broadcast here was the
-    gauntlet's one remaining serial constant: at 4M docs the
-    duplicated head is O(10^7) hashes, so the collect +
-    torrent-rebroadcast through the driver cost the same tens of
-    seconds at every parallelism level and pinned dd_substr's N-vs-4N
-    efficiency at a stable 0.745 across two windows (v3/v4 runs,
-    BENCH/BASELINE.md). The probe is still NOT an array_contains scan: a first cut carried the dup set as one
+    hash SEMI-JOIN on the gram hash, with the dup head FORCED to
+    broadcast — a choice made by controlled experiment, not
+    assumption. The A/B at 4M docs (BENCH/scaling_text_r04_4m_v4 vs
+    _v5.json, same synth recipe, back-to-back windows, identical
+    output checksums): un-hinted, AQE sized the dup head over its
+    threshold and picked a shuffle join, which re-exchanges the full
+    O(corpus-grams) position table — 578→809s at local[2] AND
+    194→286s at local[8]; the broadcast probe stays map-side and wins
+    at both levels because probe-side wire cost dominates the driver
+    round-trip by orders of magnitude. The dup head scales with
+    corpus dup mass, so at the scale where it outgrows driver/executor
+    memory the shuffle semi-join AQE picked here IS the correct (and
+    only exact) fallback — it is a constant factor slower, not a
+    scaling cliff, and every byte of it moves executor-to-executor in
+    parallel. A bloom pre-probe can cut its wire cost (probe the
+    constant-size filter map-side, shuffle only probable-dup
+    positions) but cannot replace the exact join: a bloom false
+    positive would mark a unique gram duplicated and corrupt the
+    span output. dd_substr's N-vs-4N plateau of
+    ~0.71-0.75 on this box is the same with either join shape — the
+    op is DRAM-bandwidth-bound (wide array arithmetic per row), and
+    4x the cores of ONE socket do not bring 4x the memory bandwidth;
+    a real 4x-node cluster scales the bandwidth with the cores. The
+    probe is still NOT an array_contains scan: a first cut carried the dup set as one
     broadcast array row and scanned it per position, which is
     O(npos x |dup|) linear work per doc — 21.7s at sf0.1 vs ~1s for
     this shape. Duplicated positions come back per doc as a small int
@@ -863,7 +876,7 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
         .select("h")
     )
     dpos = (
-        ex.join(dup, "h", "left_semi")
+        ex.join(F.broadcast(dup), "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("dpos"))
     )
