@@ -79,6 +79,7 @@ HEADLINE = [
     "kg_khop",  # likewise (same thresholded co-occurrence edge set)
     "kg_centrality",  # likewise (all-pairs BFS over the same edge set)
     "kg_linkgraph",  # web link graph: extract/resolve/host-aggregate
+    "kg_hearst",  # Hearst-pattern taxonomy induction over planted pages
     "kg_triples",
 ]
 

@@ -623,3 +623,66 @@ def entity_graph(triples: DataFrame, preds: list[str]) -> DataFrame:
     return triples.filter(F.col("pred").isin(preds)).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hearst-pattern taxonomy induction
+# ---------------------------------------------------------------------------
+
+# The three classic lexico-syntactic hypernymy patterns (Hearst 1992):
+# each tuple is (regex, hyponym group indexes, hypernym group index).
+# RE2-safe (no backreferences / lookaround) so a DuckDB oracle can run
+# the identical expressions.
+HEARST_PATTERNS = [
+    (r"(\w+) such as (\w+) and (\w+)", (2, 3), 1),
+    (r"(\w+) and other (\w+)", (1,), 2),
+    (r"(\w+) including (\w+)", (2,), 1),
+]
+
+
+def hearst_pairs(pages: DataFrame, text_col: str = "text",
+                 url_col: str = "url") -> DataFrame:
+    """Taxonomy induction over raw page text: every occurrence of a
+    Hearst hypernymy pattern ('X such as Y and Z', 'Y and other X',
+    'X including Y') becomes an (hyponym, 'isA', hypernym) assertion,
+    rolled up to (subj, pred, obj, n_evidence, n_pages).
+
+    The schema-mapping analog in the reference derives its is-a edges
+    from a curated ontology's parent paths (pcornet_init.sql's
+    C_FULLNAME hierarchy); over an open web corpus the hierarchy must
+    be INDUCED from text, which is exactly this pattern family.
+
+    Scale shape: one regexp_extract_all pass per pattern inside the
+    page scan (zero exchange until the rollup — the same
+    extract-then-zip idiom as extract_hyperlinks, no parser UDF), then
+    a partial-aggregated groupBy on (subj, obj) whose key space is
+    vocabulary-sized, not corpus-sized: at 10^12 docs the only shuffle
+    carries (word pair, count) partials."""
+    text = F.col(text_col)
+    parts = []
+    for pat, hypo_groups, hyper_group in HEARST_PATTERNS:
+        lit = F.lit(pat)
+        for g in hypo_groups:
+            pairs = F.arrays_zip(
+                F.regexp_extract_all(text, lit, F.lit(g)).alias("subj"),
+                F.regexp_extract_all(text, lit, F.lit(hyper_group)).alias("obj"),
+            )
+            parts.append(
+                pages.select(
+                    F.col(url_col).alias("url"),
+                    F.explode(pairs).alias("p"),
+                ).select("url", F.col("p.subj").alias("subj"),
+                         F.col("p.obj").alias("obj"))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("subj", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.countDistinct("url").alias("n_pages"),
+        )
+        .select("subj", F.lit("isA").alias("pred"), "obj",
+                "n_evidence", "n_pages")
+    )

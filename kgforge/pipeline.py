@@ -1525,6 +1525,122 @@ FROM prof
 
 
 # ---------------------------------------------------------------------------
+# kg_hearst — Hearst-pattern taxonomy induction
+# ---------------------------------------------------------------------------
+# The reference's is-a structure comes from a curated ontology
+# (pcornet_init.sql's C_FULLNAME parent paths); over an open web corpus
+# the hierarchy must be INDUCED from text. Pages carry deterministic
+# Hearst sentences ('X such as Y and Z' / 'Y and other X' /
+# 'X including Y', one per page except every 11th — so the no-match
+# path is exercised and the check can never pass vacuously), planted
+# the pages_with_measurements way so the assertions ride through the
+# REAL html-wrap -> Arrow-extraction path before the pattern pass.
+
+TAX_HYPER = ["methods", "systems", "engines", "formats"]  # out-of-vocab
+TAX_HYPO = ["join", "hash", "scan", "merge",
+            "sort", "filter", "query", "stream"]  # real dictionary surfaces
+
+
+def pages_with_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages with a deterministic Hearst sentence appended
+    (skipped when doc_id % 11 == 4). Hyponym pair indexes (3d+1, 5d+2)
+    mod 8 can never collide (their difference 2d+1 is odd), so every
+    'such as Y and Z' names two distinct hyponyms."""
+    d = read_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    hyper = F.element_at(
+        F.array(*[F.lit(w) for w in TAX_HYPER]), ((did % 4) + 1).cast("int")
+    )
+    hypo = F.array(*[F.lit(w) for w in TAX_HYPO])
+    y1 = F.element_at(hypo, (((did * 3 + 1) % 8) + 1).cast("int"))
+    y2 = F.element_at(hypo, (((did * 5 + 2) % 8) + 1).cast("int"))
+    suffix = (
+        F.when(did % 11 == 4, F.lit(""))
+        .when(did % 3 == 0, F.concat(
+            F.lit(" "), hyper, F.lit(" such as "), y1, F.lit(" and "), y2))
+        .when(did % 3 == 1, F.concat(
+            F.lit(" "), y1, F.lit(" and other "), hyper))
+        .otherwise(F.concat(F.lit(" "), hyper, F.lit(" including "), y1))
+    )
+    text2 = F.concat(F.col("text"), suffix)
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            did.cast("string"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2023-01-01 00:00:00"))
+            + F.make_interval(secs=(did % 31536000).cast("double"))
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(HTML_PREFIX), text2, F.lit(HTML_SUFFIX)), "UTF-8"
+        ).alias("html"),
+        text2.alias("text"),
+        F.col("lang"),
+    )
+
+
+def kg_hearst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy induction end to end: html-wrapped pages -> Arrow
+    extraction -> Hearst pattern pass -> (subj, isA, obj) rollup with
+    evidence counts. The pattern scan is zero-exchange codegen inside
+    the page scan; the only shuffle carries vocabulary-sized
+    (word-pair, count) partials (kgforge/operators/graph.py)."""
+    from kgforge.operators import graph as G
+
+    ext = extract_pages(pages_with_taxonomy(spark, sf_dir), langs=("en",))
+    return G.hearst_pairs(ext).orderBy("subj", "obj")
+
+
+_SQL_TAX_LISTS = (
+    "(['methods','systems','engines','formats'])[(doc_id % 4) + 1]",
+    "(['join','hash','scan','merge','sort','filter','query','stream'])"
+    "[((doc_id * 3 + 1) % 8) + 1]",
+    "(['join','hash','scan','merge','sort','filter','query','stream'])"
+    "[((doc_id * 5 + 2) % 8) + 1]",
+)
+
+ORACLE_KG_HEARST = f"""
+WITH tax_pages AS (
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         text || CASE
+           WHEN doc_id % 11 = 4 THEN ''
+           WHEN doc_id % 3 = 0 THEN ' ' || {_SQL_TAX_LISTS[0]} || ' such as '
+                || {_SQL_TAX_LISTS[1]} || ' and ' || {_SQL_TAX_LISTS[2]}
+           WHEN doc_id % 3 = 1 THEN ' ' || {_SQL_TAX_LISTS[1]}
+                || ' and other ' || {_SQL_TAX_LISTS[0]}
+           ELSE ' ' || {_SQL_TAX_LISTS[0]} || ' including ' || {_SQL_TAX_LISTS[1]}
+         END AS text
+  FROM documents WHERE lang = 'en'
+),
+hits AS (
+  SELECT url,
+         UNNEST(regexp_extract_all(text, '(\\w+) such as (\\w+) and (\\w+)', 2)) AS subj,
+         UNNEST(regexp_extract_all(text, '(\\w+) such as (\\w+) and (\\w+)', 1)) AS obj
+  FROM tax_pages
+  UNION ALL
+  SELECT url,
+         UNNEST(regexp_extract_all(text, '(\\w+) such as (\\w+) and (\\w+)', 3)),
+         UNNEST(regexp_extract_all(text, '(\\w+) such as (\\w+) and (\\w+)', 1))
+  FROM tax_pages
+  UNION ALL
+  SELECT url,
+         UNNEST(regexp_extract_all(text, '(\\w+) and other (\\w+)', 1)),
+         UNNEST(regexp_extract_all(text, '(\\w+) and other (\\w+)', 2))
+  FROM tax_pages
+  UNION ALL
+  SELECT url,
+         UNNEST(regexp_extract_all(text, '(\\w+) including (\\w+)', 2)),
+         UNNEST(regexp_extract_all(text, '(\\w+) including (\\w+)', 1))
+  FROM tax_pages
+)
+SELECT subj, 'isA' AS pred, obj,
+       COUNT(*) AS n_evidence, COUNT(DISTINCT url) AS n_pages
+FROM hits GROUP BY subj, obj ORDER BY subj, obj
+"""
+
+
+# ---------------------------------------------------------------------------
 # kg_meta — melted compound of the three small metadata emitters
 # ---------------------------------------------------------------------------
 # kg_harvest (site constants), kg_dictstats (ADD-style stats corpus) and
@@ -1547,6 +1663,8 @@ _KG_META_SPECS_SPARK = [
      [("n", "n"), ("pct", "n")]),
     ("kg_report", None, None, ["pred"],
      [("n_triples", "n"), ("n_subjects", "n")]),
+    ("kg_hearst", None, None, ["subj", "obj"],
+     [("pred", "s"), ("n_evidence", "n"), ("n_pages", "n")]),
 ]
 
 
@@ -1578,6 +1696,7 @@ QUERIES = {
     "kg_khop": kg_khop,
     "kg_centrality": kg_centrality,
     "kg_linkgraph": kg_linkgraph,
+    "kg_hearst": kg_hearst,
     "kg_meta": kg_meta,
 }
 
@@ -1598,6 +1717,7 @@ ORACLES = {
     "kg_assoc": ORACLE_KG_ASSOC,
     "kg_khop": ORACLE_KG_KHOP,
     "kg_centrality": ORACLE_KG_CENTRALITY,
+    "kg_hearst": ORACLE_KG_HEARST,
 }
 
 
@@ -1628,6 +1748,8 @@ def _build_compound_oracles() -> None:
              None, ["sec", "item", "label"], [("n", "n"), ("pct", "n")]),
             ("kg_report", ORACLE_KG_REPORT, None, ["pred"],
              [("n_triples", "n"), ("n_subjects", "n")]),
+            ("kg_hearst", ORACLE_KG_HEARST, None, ["subj", "obj"],
+             [("pred", "s"), ("n_evidence", "n"), ("n_pages", "n")]),
         ]
     )
 
@@ -1641,5 +1763,5 @@ _build_compound_oracles()
 DRIVER_QUERIES = {
     k: v
     for k, v in QUERIES.items()
-    if k not in ("kg_harvest", "kg_dictstats", "kg_report")
+    if k not in ("kg_harvest", "kg_dictstats", "kg_report", "kg_hearst")
 }

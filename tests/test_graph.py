@@ -483,3 +483,78 @@ def test_collapse_redirects_needs_enough_rounds(spark):
     got = {r["src"]: (r["final_url"], r["hops"])
            for r in collapse_redirects(df, max_pow=1).collect()}
     assert got["a"] == ("c", 2)  # stalled mid-chain after one doubling
+
+
+# ---------------------------------------------------------------------------
+# Hearst-pattern taxonomy induction
+# ---------------------------------------------------------------------------
+
+
+def test_hearst_pairs_patterns_and_rollup(spark):
+    from kgforge.operators.graph import hearst_pairs
+
+    rows = [
+        # pattern 1 emits two pairs; pattern 3 in the same page adds one
+        ("u1", "engines such as spark and flink plus formats including parquet"),
+        # pattern 2
+        ("u2", "spark and other engines"),
+        # repeat evidence for (spark, engines) on a second page
+        ("u3", "engines such as spark and hive"),
+        # no pattern at all -> contributes nothing
+        ("u4", "plain words without any cue phrase"),
+        # cue words split across unrelated text must not match
+        ("u5", "such a day as this and no other option including none"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (r.subj, r.obj): (r.n_evidence, r.n_pages)
+        for r in hearst_pairs(df).collect()
+    }
+    assert got[("spark", "engines")] == (3, 3)
+    assert got[("flink", "engines")] == (1, 1)
+    assert got[("hive", "engines")] == (1, 1)
+    assert got[("parquet", "formats")] == (1, 1)
+    # 'option including none' IS a legitimate pattern-3 hit; everything
+    # else on u4/u5 must not match
+    assert got[("none", "option")] == (1, 1)
+    assert set(got) == {
+        ("spark", "engines"), ("flink", "engines"), ("hive", "engines"),
+        ("parquet", "formats"), ("none", "option"),
+    }
+    for r in hearst_pairs(df).collect():
+        assert r.pred == "isA"
+
+
+def test_hearst_pairs_plan_stays_codegen(spark):
+    """The pattern scan must not leave the JVM or build a cartesian:
+    no BatchEvalPython (per-row Python) and no CartesianProduct in the
+    physical plan."""
+    from kgforge.operators.graph import hearst_pairs
+
+    df = spark.createDataFrame([("u", "a such as b and c")],
+                               "url string, text string")
+    plan = hearst_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kg_hearst_no_plant_every_11th(spark, sf001):
+    sf_dir = sf001
+    """pages_with_taxonomy skips planting when doc_id % 11 == 4, so the
+    no-match path is real: those pages' text must equal the raw
+    document text."""
+    from kgforge.pipeline import pages_with_taxonomy
+    from kgforge.sources import read_table
+
+    planted = pages_with_taxonomy(spark, sf_dir).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("text").alias("t2"),
+    )
+    raw = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    j = planted.join(raw, "doc_id")
+    skipped = j.filter(F.col("doc_id") % 11 == 4)
+    assert skipped.count() > 0
+    assert skipped.filter(F.col("t2") != F.col("text")).count() == 0
+    assert j.filter(
+        (F.col("doc_id") % 11 != 4) & (F.col("t2") == F.col("text"))
+    ).count() == 0
