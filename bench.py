@@ -64,6 +64,7 @@ HEADLINE = [
     "dd_substr",
     "dd_clusters",
     "dd_snapshots",
+    "dd_robots",
     "rel_scd2",
     "mm_meta",
     "mm_frames",

@@ -594,6 +594,149 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
 
 
+# ---------------------------------------------------------------------------
+# dd_robots — robots.txt crawl-frontier filtering
+# ---------------------------------------------------------------------------
+
+def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> DataFrame:
+    """Crawl-politeness gate: frontier(url, host, path) x
+    host_rules(host, rules: array<struct<p: prefix, a: allow 0/1>>) ->
+    one decision per url under the longest-match rule (Google's
+    robots.txt algorithm: among matching rules the longest prefix wins;
+    on a length tie Allow beats Disallow; no match means fetch).
+
+    Scale shape: the frontier — the 10^12-row side — NEVER shuffles.
+    Rules are per-host metadata (robots.txt is one fetch per host), so
+    the join is a broadcast at dimension scale, and the winner
+    selection is in-row codegen (filter + transform + array_max over a
+    (len, allow, prefix) struct, lexicographic max = longest-match with
+    allow-wins tie-break). Beyond broadcastable host counts the same
+    plan works as a shuffle-hash join on host — the escape hatch is the
+    caller dropping the broadcast hint, nothing in the winner logic
+    changes."""
+    path = F.col("path")
+    matched = F.filter(
+        F.col("rules"), lambda r: path.startswith(r.getField("p"))
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r.getField("p")).alias("l"),
+                r.getField("a").alias("a"),
+                r.getField("p").alias("p"),
+            ),
+        )
+    )
+    return (
+        frontier.join(F.broadcast(host_rules), "host", "left")
+        .withColumn("_best", best)
+        .select(
+            frontier["*"],
+            F.col("_best.p").alias("matched_rule"),
+            F.when(
+                F.col("_best").isNull() | (F.col("_best.a") == 1), F.lit("fetch")
+            )
+            .otherwise(F.lit("blocked"))
+            .alias("decision"),
+        )
+    )
+
+
+def dd_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt frontier filtering over a deterministic synthetic
+    frontier: each doc contributes one url whose path class cycles
+    through /doc/, /private/, /private/ok/, /tmp/ and /doc/archive/,
+    and each host's parsed rule set varies by host index (full
+    Disallow/Allow-exception set, Disallow /tmp/ only, or no robots.txt
+    at all) — so longest-match overrides (/private/ok/ allowed inside
+    disallowed /private/), plain blocks, and the no-rules path all
+    carry rows at every sf and the check can never pass vacuously."""
+    d = read_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    seg = (
+        F.when(did % 5 == 0, F.concat(F.lit("/doc/"), did.cast("string")))
+        .when(did % 5 == 1, F.concat(F.lit("/private/"), did.cast("string")))
+        .when(did % 5 == 2, F.concat(F.lit("/private/ok/"), did.cast("string")))
+        .when(did % 5 == 3, F.concat(F.lit("/tmp/"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/doc/archive/"), did.cast("string")))
+    )
+    frontier = d.select(
+        did.alias("doc_id"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        seg.alias("path"),
+    )
+    s_idx = F.substring("source", 4, 8).cast("int")
+    empty_rules = F.array().cast("array<struct<p:string,a:int>>")
+    rules = (
+        F.when(s_idx % 3 == 0, F.array(
+            F.struct(F.lit("/private/").alias("p"), F.lit(0).alias("a")),
+            F.struct(F.lit("/private/ok/").alias("p"), F.lit(1).alias("a")),
+            F.struct(F.lit("/tmp/").alias("p"), F.lit(0).alias("a")),
+        ))
+        .when(s_idx % 3 == 1, F.array(
+            F.struct(F.lit("/tmp/").alias("p"), F.lit(0).alias("a")),
+        ))
+        .otherwise(empty_rules)
+    )
+    host_rules = (
+        d.select("source").distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            rules.alias("rules"),
+        )
+    )
+    return (
+        robots_filter(frontier, host_rules)
+        .select("doc_id", "host", "path", "matched_rule", "decision")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DD_ROBOTS = """
+WITH frontier AS (
+  SELECT doc_id, source || '.example.com' AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+           WHEN 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+           ELSE '/doc/archive/' || CAST(doc_id AS VARCHAR)
+         END AS path
+  FROM documents
+),
+hosts AS (
+  SELECT DISTINCT source, CAST(substring(source, 4) AS INT) AS s
+  FROM documents
+),
+rules AS (
+  SELECT source || '.example.com' AS host,
+         UNNEST(CASE WHEN s % 3 = 0 THEN ['/private/', '/private/ok/', '/tmp/']
+                     WHEN s % 3 = 1 THEN ['/tmp/']
+                     ELSE [] END) AS prefix,
+         UNNEST(CASE WHEN s % 3 = 0 THEN [0, 1, 0]
+                     WHEN s % 3 = 1 THEN [0]
+                     ELSE [] END) AS allow
+  FROM hosts
+),
+best AS (
+  SELECT doc_id, prefix, allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY length(prefix) DESC, allow DESC
+         ) AS rn
+  FROM frontier f JOIN rules r
+    ON r.host = f.host AND starts_with(f.path, r.prefix)
+)
+SELECT f.doc_id, f.host, f.path,
+       b.prefix AS matched_rule,
+       CASE WHEN b.doc_id IS NULL OR b.allow = 1 THEN 'fetch'
+            ELSE 'blocked' END AS decision
+FROM frontier f LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY f.doc_id
+"""
+
+
 DD_BLOOM_WORDS = 64  # deliberately small at test scale so FALSE POSITIVES
 DD_BLOOM_K = 3       # actually occur and the oracle verifies them too
 
@@ -1235,6 +1378,11 @@ _DD_CELLS = {
         [("n_snapshots", "n"), ("latest_epoch", "n"), ("latest_md5", "s"),
          ("n_versions", "n"), ("n_changes", "n")],
     ),
+    "dd_robots": (
+        None, ["doc_id"],
+        [("host", "s"), ("path", "s"), ("matched_rule", "s"),
+         ("decision", "s")],
+    ),
 }
 
 
@@ -1277,6 +1425,7 @@ QUERIES = {
     "dd_substr": dd_substr,
     "dd_clusters": dd_clusters,
     "dd_snapshots": dd_snapshots,
+    "dd_robots": dd_robots,
 }
 
 # SemDeDup lives in similarity.py (it shares the embedding plumbing and
@@ -1305,6 +1454,7 @@ ORACLES = {
     "dd_clusters": ORACLE_DD_CLUSTERS,
     "dd_semdedup": ORACLE_DD_SEMDEDUP,
     "dd_snapshots": ORACLE_DD_SNAPSHOTS,
+    "dd_robots": ORACLE_DD_ROBOTS,
 }
 
 QUERIES["dd_stats"] = dd_stats

@@ -2189,3 +2189,65 @@ def test_hostprofile_decisions_both_classes(spark, sf01):
         assert r["decision"] == expected
         # mean length is internally consistent with the planted corpus
         assert r["mean_chars"] > 0
+
+
+# ---------------------------------------------------------------------------
+# dd_robots — robots.txt crawl-frontier filtering
+# ---------------------------------------------------------------------------
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.dedup import robots_filter
+
+    frontier = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/ok/x"),   # allow-exception beats /private/
+            (2, "a.com", "/private/y"),      # blocked
+            (3, "a.com", "/pub/z"),          # no matching rule -> fetch
+            (4, "b.com", "/anything"),       # host with empty rule set
+            (5, "c.com", "/tie/x"),          # length tie -> allow wins
+            (6, "d.com", "/q"),              # host absent from rules table
+        ],
+        "doc_id long, host string, path string",
+    )
+    def rules(*pairs):
+        return [{"p": p, "a": a} for p, a in pairs]
+    host_rules = spark.createDataFrame(
+        [
+            ("a.com", rules(("/private/", 0), ("/private/ok/", 1))),
+            ("b.com", rules()),
+            ("c.com", rules(("/tie/", 0), ("/tie/", 1))),
+        ],
+        "host string, rules array<struct<p:string,a:int>>",
+    )
+    got = {
+        r.doc_id: (r.matched_rule, r.decision)
+        for r in robots_filter(frontier, host_rules).collect()
+    }
+    assert got[1] == ("/private/ok/", "fetch")
+    assert got[2] == ("/private/", "blocked")
+    assert got[3] == (None, "fetch")
+    assert got[4] == (None, "fetch")
+    assert got[5] == ("/tie/", "fetch")  # tie-break: allow wins
+    assert got[6] == (None, "fetch")
+
+
+def test_robots_filter_frontier_never_shuffles(spark):
+    """The frontier side must reach the decision without an Exchange:
+    rules arrive by broadcast and the winner logic is in-row codegen."""
+    from kgforge.operators.dedup import robots_filter
+
+    frontier = spark.createDataFrame(
+        [(1, "a.com", "/x")], "doc_id long, host string, path string"
+    )
+    host_rules = spark.createDataFrame(
+        [("a.com", [{"p": "/x", "a": 0}])],
+        "host string, rules array<struct<p:string,a:int>>",
+    )
+    plan = robots_filter(frontier, host_rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
