@@ -60,6 +60,7 @@ HEADLINE = [
     "tx_diversity",
     "tx_c4filter",
     "tx_gopher",
+    "tx_mainext",
     "dd_lines",
     "dd_substr",
     "dd_clusters",

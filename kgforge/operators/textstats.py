@@ -1762,6 +1762,150 @@ FROM r ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# tx_mainext — within-page main-content extraction (jusText/trafilatura-lite)
+# ---------------------------------------------------------------------------
+
+MAINEXT_MIN_CHARS = 25  # a block below this is navigation/footer chrome
+# keep iff link_chars / text_chars <= 1/3 — compared as 3*lnk <= txt so
+# the cut is exact integer arithmetic in both engines
+
+
+def main_content_blocks(pages: DataFrame, html_col: str = "html_str",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Block-level main-content extraction: split the page into
+    newline-delimited markup blocks, score each block by tag-stripped
+    text length and anchor-text share (jusText/trafilatura's
+    link-density heuristic), keep long low-link-density blocks, and
+    emit the concatenated main text's length + md5 with block counts.
+
+    dd_lines removes boilerplate ACROSS documents (lines repeated
+    corpus-wide); this is the WITHIN-page structural pass that runs
+    before it — navigation, sidebars and footers never reach the
+    corpus stage. Everything is in-row codegen (split / transform /
+    filter / aggregate over the block array): zero shuffle, so at
+    10^12 pages the op is embarrassingly parallel inside the page
+    scan."""
+    html = F.col(html_col)
+    blocks = F.split(html, "\n")
+    stats = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.trim(F.regexp_replace(b, "<[^>]*>", "")).alias("txt"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit("<a [^>]*>([^<]*)</a>"), F.lit(1)),
+                F.lit(0),
+                lambda acc, x: acc + F.length(x),
+            ).alias("lnk"),
+        ),
+    )
+    kept = F.filter(
+        stats,
+        lambda s: (F.length(s.getField("txt")) >= MAINEXT_MIN_CHARS)
+        & (s.getField("lnk") * 3 <= F.length(s.getField("txt"))),
+    )
+    main = F.array_join(F.transform(kept, lambda s: s.getField("txt")), "\n")
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(blocks).alias("n_blocks"),
+        F.size(kept).alias("n_kept"),
+        F.length(main).alias("main_chars"),
+        F.md5(main).alias("main_md5"),
+    )
+
+
+def pages_with_block_markup(d: DataFrame) -> DataFrame:
+    """docs -> (doc_id, html_str) with newline-delimited blocks: a pure-
+    link nav, the first half of the text as a content paragraph, a
+    pure-link sidebar on 2 of 3 pages, the second half with one inline
+    link, and a short linky footer — so kept and dropped blocks both
+    exist on every page and the halves' length variance exercises the
+    MIN_CHARS cut."""
+    did = F.col("doc_id")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    h = F.floor(n / 2).cast("int")
+    first = F.array_join(F.slice(words, 1, h), " ")
+    second = F.array_join(F.slice(words, h + 1, n - h), " ")
+    nav = F.lit('<nav><a href="/">home</a> <a href="/about">about</a></nav>')
+    b1 = F.concat(F.lit("<p>"), first, F.lit("</p>"))
+    sidebar = F.when(
+        did % 3 != 2,
+        F.lit('<div><a href="/t/1">trending now</a> '
+              '<a href="/t/2">top stories</a></div>\n'),
+    ).otherwise(F.lit(""))
+    b3 = F.concat(
+        F.lit("<p>"), second, F.lit(' see <a href="/doc/'),
+        (did + 1).cast("string"), F.lit('">related article</a></p>'),
+    )
+    footer = F.lit('<footer>c 2023 terms <a href="/tos">tos</a></footer>')
+    html = F.concat(
+        nav, F.lit("\n"), b1, F.lit("\n"), sidebar, b3, F.lit("\n"), footer
+    )
+    return d.select(did.alias("doc_id"), html.alias("html_str"))
+
+
+def tx_mainext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return main_content_blocks(
+        pages_with_block_markup(read_table(spark, "documents", sf_dir))
+    ).orderBy("doc_id")
+
+
+ORACLE_TX_MAINEXT = f"""
+WITH halves AS (
+  SELECT doc_id,
+         array_to_string(ws[1 : h], ' ') AS first,
+         array_to_string(ws[h + 1 : n], ' ') AS second
+  FROM (
+    SELECT doc_id, ws, len(ws) AS n,
+           CAST(floor(len(ws) / 2) AS INT) AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+),
+pages AS (
+  SELECT doc_id,
+         '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+         || chr(10) || '<p>' || first || '</p>' || chr(10)
+         || CASE WHEN doc_id % 3 <> 2 THEN
+              '<div><a href="/t/1">trending now</a> '
+              || '<a href="/t/2">top stories</a></div>' || chr(10)
+            ELSE '' END
+         || '<p>' || second || ' see <a href="/doc/'
+         || CAST(doc_id + 1 AS VARCHAR) || '">related article</a></p>'
+         || chr(10)
+         || '<footer>c 2023 terms <a href="/tos">tos</a></footer>' AS html_str
+  FROM halves
+),
+scored AS (
+  SELECT doc_id, stats,
+         list_filter(stats, s -> length(s.txt) >= {MAINEXT_MIN_CHARS}
+                     AND 3 * s.lnk <= length(s.txt)) AS kept
+  FROM (
+    SELECT doc_id,
+           list_transform(string_split(html_str, chr(10)), b -> struct_pack(
+             txt := trim(regexp_replace(b, '<[^>]*>', '', 'g')),
+             lnk := COALESCE(list_sum(list_transform(
+               regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+               x -> length(x))), 0)
+           )) AS stats
+    FROM pages
+  )
+)
+SELECT doc_id,
+       CAST(len(stats) AS INT) AS n_blocks,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(length(main) AS INT) AS main_chars,
+       md5(main) AS main_md5
+FROM (
+  -- empty kept list: array_to_string gives NULL, Spark's array_join ''
+  SELECT doc_id, stats, kept,
+         COALESCE(array_to_string(list_transform(kept, s -> s.txt),
+                                  chr(10)), '') AS main
+  FROM scored
+) ORDER BY doc_id
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # The five tx_* operators melt into ONE registered query (tx_stats) via
 # the same machinery as relational's compounds — every cell of every
@@ -1849,6 +1993,11 @@ _TX_CELLS = {
         [("n_lines", "n"), ("n_sentences", "n"), ("has_lorem", "s"),
          ("has_brace", "s"), ("c4_keep", "s"), ("clean_md5", "s")],
     ),
+    "tx_mainext": (
+        None, ["doc_id"],
+        [("n_blocks", "n"), ("n_kept", "n"), ("main_chars", "n"),
+         ("main_md5", "s")],
+    ),
 }
 
 
@@ -1889,6 +2038,7 @@ QUERIES = {
     "tx_diversity": tx_diversity,
     "tx_c4filter": tx_c4filter,
     "tx_gopher": tx_gopher,
+    "tx_mainext": tx_mainext,
 }
 
 ORACLES = {
@@ -1913,6 +2063,7 @@ ORACLES = {
     "tx_diversity": ORACLE_TX_DIVERSITY,
     "tx_c4filter": ORACLE_TX_C4FILTER,
     "tx_gopher": ORACLE_TX_GOPHER,
+    "tx_mainext": ORACLE_TX_MAINEXT,
 }
 
 

@@ -2251,3 +2251,47 @@ def test_robots_filter_frontier_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# tx_mainext — within-page main-content extraction
+# ---------------------------------------------------------------------------
+
+
+def test_main_content_blocks_link_density_rules(spark):
+    from kgforge.operators.textstats import main_content_blocks
+
+    long_content = "this paragraph carries enough plain words to stay"
+    pages = [
+        # nav dropped (pure links), content kept, footer dropped (short)
+        (1, '<nav><a href="/">home</a></nav>\n'
+            f"<p>{long_content}</p>\n"
+            '<footer>c <a href="/t">tos</a></footer>'),
+        # content with a small inline link: 3*lnk <= txt keeps it
+        (2, f'<p>{long_content} see <a href="/x">more</a></p>'),
+        # link-heavy long block: anchor text dominates -> dropped
+        (3, '<div><a href="/a">click this very long anchor text here</a>'
+            " ok</div>"),
+        # everything chrome -> zero kept, md5 of empty string
+        (4, '<nav><a href="/">home</a> <a href="/b">about</a></nav>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html_str string")
+    got = {r.doc_id: r for r in main_content_blocks(df).collect()}
+    assert (got[1].n_blocks, got[1].n_kept) == (3, 1)
+    assert got[1].main_chars == len(long_content)
+    assert got[2].n_kept == 1
+    assert got[2].main_chars == len(long_content + " see more")
+    assert got[3].n_kept == 0
+    assert got[4].n_kept == 0
+    import hashlib
+    assert got[4].main_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_main_content_blocks_zero_shuffle_plan(spark):
+    from kgforge.operators.textstats import main_content_blocks
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html_str string")
+    plan = main_content_blocks(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
