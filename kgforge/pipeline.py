@@ -1282,6 +1282,27 @@ def _lg_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lg_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text entity linking — the Wikipedia-anchor trick: the
+    words other pages use in links POINTING AT a host are treated as
+    candidate aliases and scored against the SAME winner dictionary the
+    in-page linker uses, yielding (dst_host, canonical_id, n_links):
+    what the web calls each host. At 10^12 pages the anchor rollup is
+    host x vocabulary sized and the dictionary join is the broadcast
+    linker join — nothing new shuffles."""
+    from kgforge.link import winner_dictionary
+
+    win = winner_dictionary(prepared_dictionary(spark)).select(
+        "surface", "canonical_id"
+    )
+    return (
+        _lg_anchors(spark, sf_dir)
+        .join(F.broadcast(win), F.col("word") == F.col("surface"))
+        .groupBy("dst_host", "canonical_id")
+        .agg(F.sum("n").alias("n_links"))
+    )
+
+
 def _lg_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic redirect relation: every doc id owns a redirect
     node r/{d} that points to r/{d-1}, except multiples of 8 which
@@ -1366,6 +1387,8 @@ _LG_SPECS_SPARK = [
     ("lg_degrees", _lg_degrees, None, ["host"],
      [("out_hosts", "n"), ("in_hosts", "n"), ("n_out", "n"), ("n_in", "n")]),
     ("lg_anchors", _lg_anchors, None, ["dst_host", "word"], [("n", "n")]),
+    ("lg_aliases", _lg_aliases, None, ["dst_host", "canonical_id"],
+     [("n_links", "n")]),
     ("lg_redirects", _lg_redirects, None, ["src"],
      [("final_url", "s"), ("hops", "n")]),
     ("lg_hostprofile", _lg_hostprofile, None, ["host"],
@@ -1475,6 +1498,13 @@ SELECT dst_host, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
 
 # recursive walk to the chain terminal — the independent check on the
 # pointer-doubling collapse
+_SQL_LG_ALIASES = f"""
+WITH {_SQL_DICT}
+SELECT dst_host, canonical_id, CAST(SUM(n) AS BIGINT) AS n_links
+FROM ({_SQL_LG_ANCHORS}) a JOIN dict d ON d.surface = a.word
+GROUP BY dst_host, canonical_id
+"""
+
 _SQL_LG_REDIRECTS = """
 WITH RECURSIVE redir AS (
   SELECT 'https://src' || CAST(doc_id % 20 AS VARCHAR)
@@ -1732,6 +1762,8 @@ def _build_compound_oracles() -> None:
              [("out_hosts", "n"), ("in_hosts", "n"), ("n_out", "n"), ("n_in", "n")]),
             ("lg_anchors", _SQL_LG_ANCHORS, None, ["dst_host", "word"],
              [("n", "n")]),
+            ("lg_aliases", _SQL_LG_ALIASES, None, ["dst_host", "canonical_id"],
+             [("n_links", "n")]),
             ("lg_redirects", _SQL_LG_REDIRECTS, None, ["src"],
              [("final_url", "s"), ("hops", "n")]),
             ("lg_hostprofile", _SQL_LG_HOSTPROFILE, None, ["host"],
