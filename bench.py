@@ -82,6 +82,7 @@ HEADLINE = [
     "kg_centrality",  # likewise (all-pairs BFS over the same edge set)
     "kg_linkgraph",  # web link graph: extract/resolve/host-aggregate
     "kg_hearst",  # Hearst-pattern taxonomy induction over planted pages
+    "kg_diff",  # assertion-level changeset between crawl snapshots
     "kg_triples",
 ]
 

@@ -1671,6 +1671,99 @@ FROM hits GROUP BY subj, obj ORDER BY subj, obj
 
 
 # ---------------------------------------------------------------------------
+# kg_diff — assertion-level changeset between two crawl snapshots
+# ---------------------------------------------------------------------------
+
+
+def kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When the crawl refreshes, the KG must be PATCHED, not rebuilt:
+    this emits the assertion-level changeset (added / removed mention
+    triples) between snapshot v1 (the corpus as-is) and a deterministic
+    v2 (every doc_id%10==3 gains a ' spark' mention, every %10==6 has
+    'join' rewritten away) — so both directions of the diff carry rows
+    at every sf. Both versions' mention sets come from the same
+    word-split x broadcast-winner-dictionary join the linker uses
+    (extraction byte-identity is kg_extract's own green row), and the
+    diff is one full-outer join on (subj, pred, obj).
+
+    Scale: at 10^12 pages the diff composes with dd_snapshots — only
+    pages whose content hash changed re-enter mention detection, so the
+    full-outer join runs over the changed slice, not the corpus."""
+    from kgforge.link import winner_dictionary
+
+    d = read_table(spark, "documents", sf_dir).filter(F.col("lang") == "en")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        did.cast("string"),
+    )
+    text2 = (
+        F.when(did % 10 == 3, F.concat(F.col("text"), F.lit(" spark")))
+        .when(did % 10 == 6, F.regexp_replace("text", "join", "joinx"))
+        .otherwise(F.col("text"))
+    )
+    win = F.broadcast(
+        winner_dictionary(prepared_dictionary(spark))
+        .filter(~F.col("surface").contains(" "))
+        .select("surface", "canonical_id", "pred")
+    )
+
+    def mention_set(text_col):
+        w = d.select(url.alias("subj"), F.explode(F.split(text_col, " ")).alias("w"))
+        return (
+            w.join(win, w["w"] == win["surface"])
+            .select("subj", "pred", F.col("canonical_id").alias("obj"))
+            .distinct()
+        )
+
+    t1 = mention_set(F.col("text")).withColumn("in1", F.lit(1))
+    t2 = mention_set(text2).withColumn("in2", F.lit(1))
+    j = t1.join(t2, ["subj", "pred", "obj"], "full_outer")
+    return (
+        j.filter(F.col("in1").isNull() | F.col("in2").isNull())
+        .select(
+            "subj", "pred", "obj",
+            F.when(F.col("in1").isNull(), F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("status"),
+        )
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+ORACLE_KG_DIFF = f"""
+WITH {_SQL_PAGES}, {_SQL_DICT},
+v2 AS (
+  SELECT url,
+         CASE WHEN CAST(regexp_extract(url, '/doc/(\\d+)$', 1) AS BIGINT) % 10 = 3
+                THEN text || ' spark'
+              WHEN CAST(regexp_extract(url, '/doc/(\\d+)$', 1) AS BIGINT) % 10 = 6
+                THEN replace(text, 'join', 'joinx')
+              ELSE text END AS text
+  FROM en_pages
+),
+t1 AS (
+  SELECT DISTINCT url AS subj, d.pred, d.canonical_id AS obj
+  FROM (SELECT url, UNNEST(string_split(text, ' ')) AS surface FROM en_pages) w
+  JOIN dict d USING (surface)
+),
+t2 AS (
+  SELECT DISTINCT url AS subj, d.pred, d.canonical_id AS obj
+  FROM (SELECT url, UNNEST(string_split(text, ' ')) AS surface FROM v2) w
+  JOIN dict d USING (surface)
+)
+SELECT COALESCE(t1.subj, t2.subj) AS subj,
+       COALESCE(t1.pred, t2.pred) AS pred,
+       COALESCE(t1.obj, t2.obj) AS obj,
+       CASE WHEN t1.subj IS NULL THEN 'added' ELSE 'removed' END AS status
+FROM t1 FULL OUTER JOIN t2
+  ON t1.subj = t2.subj AND t1.pred = t2.pred AND t1.obj = t2.obj
+WHERE t1.subj IS NULL OR t2.subj IS NULL
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # kg_meta — melted compound of the three small metadata emitters
 # ---------------------------------------------------------------------------
 # kg_harvest (site constants), kg_dictstats (ADD-style stats corpus) and
@@ -1695,6 +1788,7 @@ _KG_META_SPECS_SPARK = [
      [("n_triples", "n"), ("n_subjects", "n")]),
     ("kg_hearst", None, None, ["subj", "obj"],
      [("pred", "s"), ("n_evidence", "n"), ("n_pages", "n")]),
+    ("kg_diff", None, None, ["subj", "pred", "obj"], [("status", "s")]),
 ]
 
 
@@ -1727,6 +1821,7 @@ QUERIES = {
     "kg_centrality": kg_centrality,
     "kg_linkgraph": kg_linkgraph,
     "kg_hearst": kg_hearst,
+    "kg_diff": kg_diff,
     "kg_meta": kg_meta,
 }
 
@@ -1748,6 +1843,7 @@ ORACLES = {
     "kg_khop": ORACLE_KG_KHOP,
     "kg_centrality": ORACLE_KG_CENTRALITY,
     "kg_hearst": ORACLE_KG_HEARST,
+    "kg_diff": ORACLE_KG_DIFF,
 }
 
 
@@ -1782,6 +1878,8 @@ def _build_compound_oracles() -> None:
              [("n_triples", "n"), ("n_subjects", "n")]),
             ("kg_hearst", ORACLE_KG_HEARST, None, ["subj", "obj"],
              [("pred", "s"), ("n_evidence", "n"), ("n_pages", "n")]),
+            ("kg_diff", ORACLE_KG_DIFF, None, ["subj", "pred", "obj"],
+             [("status", "s")]),
         ]
     )
 
@@ -1795,5 +1893,6 @@ _build_compound_oracles()
 DRIVER_QUERIES = {
     k: v
     for k, v in QUERIES.items()
-    if k not in ("kg_harvest", "kg_dictstats", "kg_report", "kg_hearst")
+    if k not in ("kg_harvest", "kg_dictstats", "kg_report", "kg_hearst",
+                 "kg_diff")
 }

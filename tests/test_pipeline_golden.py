@@ -265,3 +265,23 @@ def test_periods_override_end_to_end_and_invalidation(
             (F.col("pred") == "hasSpan") & (F.col("subj") == subj)
         ).first()
         assert new["obj"].startswith("2025-01-01T00:00:00Z/")
+
+
+def test_kg_diff_changeset_semantics(spark, sf001):
+    """The planted v2 mutations fully explain the diff: every added row
+    is the ORG:SPARK assertion on a doc_id%10==3 page that lacked
+    'spark' in v1, every removed row is TOPIC:JOIN on a %10==6 page."""
+    import re
+
+    from kgforge.pipeline import kg_diff
+
+    rows = kg_diff(spark, sf001).collect()
+    assert rows, "diff must be non-empty"
+    for r in rows:
+        did = int(re.search(r"/doc/(\d+)$", r.subj).group(1))
+        if r.status == "added":
+            assert r.obj == "ORG:SPARK" and did % 10 == 3
+        else:
+            assert r.status == "removed"
+            assert r.obj == "TOPIC:JOIN" and did % 10 == 6
+    assert {r.status for r in rows} == {"added", "removed"}
