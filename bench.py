@@ -66,6 +66,7 @@ HEADLINE = [
     "dd_clusters",
     "dd_snapshots",
     "dd_robots",
+    "dd_sitemap",
     "rel_scd2",
     "mm_meta",
     "mm_frames",

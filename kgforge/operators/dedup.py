@@ -737,6 +737,142 @@ ORDER BY f.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dd_sitemap — sitemap.xml ingestion and recrawl scheduling
+# ---------------------------------------------------------------------------
+
+def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """(host, xml) -> one row per <url> entry: (host, url, lastmod).
+    <loc> and <lastmod> are pulled with regexp_extract_all and re-zipped
+    positionally — the same no-parser-UDF idiom as hyperlink extraction.
+    Zero shuffle: the parse happens inside the sitemap scan."""
+    xml = F.col(xml_col)
+    loc = F.regexp_extract_all(xml, F.lit("<loc>([^<]*)</loc>"), F.lit(1))
+    mod = F.regexp_extract_all(
+        xml, F.lit("<lastmod>([^<]*)</lastmod>"), F.lit(1)
+    )
+    return sitemaps.select(
+        "host",
+        F.explode(F.arrays_zip(loc.alias("url"), mod.alias("lastmod"))).alias("e"),
+    ).select("host", F.col("e.url").alias("url"),
+             F.col("e.lastmod").alias("lastmod"))
+
+
+def recrawl_decisions(entries: DataFrame, crawl_state: DataFrame) -> DataFrame:
+    """Sitemap entries x crawl_state(url, fetch_date) -> per-url
+    scheduling decision: 'new' (never fetched), 'refetch' (publisher
+    lastmod is later than our fetch), 'fresh' otherwise. Dates compare
+    as ISO strings, so both engines use identical lexicographic order.
+
+    Scale: the crawl state is the 10^12-row side and arrives hash-
+    partitioned by url; sitemap entries (pages a publisher LISTS) are
+    orders of magnitude smaller, so the join shuffles only the entry
+    side against the state's layout."""
+    j = entries.join(crawl_state, "url", "left")
+    return j.select(
+        "url", "host", "lastmod", "fetch_date",
+        F.when(F.col("fetch_date").isNull(), F.lit("new"))
+        .when(F.col("lastmod") > F.col("fetch_date"), F.lit("refetch"))
+        .otherwise(F.lit("fresh"))
+        .alias("decision"),
+    )
+
+
+def dd_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-discovery end to end over deterministic synthetic
+    sitemaps: each host publishes one sitemap.xml listing its own pages
+    (lastmod = 2023-01-01 + doc_id*3%400 days, straddling the fetch
+    dates so refetch and fresh both occur) plus one never-crawled url
+    ('new'). The XML is BUILT as a string per host (string-sorted
+    entries in both engines), then parsed back through the real
+    regexp-zip path — so parse, join and decision are all exercised and
+    oracle-checked."""
+    d = read_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        did.cast("string"),
+    )
+    lastmod = F.date_format(
+        F.date_add(F.to_date(F.lit("2023-01-01")), (did * 3 % 400).cast("int")),
+        "yyyy-MM-dd",
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), url, F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url>"),
+    )
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    per_host = (
+        d.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("entry"))).alias("body"))
+    )
+    sitemaps = per_host.select(
+        "host",
+        F.concat(
+            F.lit('<urlset><url><loc>https://'), F.col("host"),
+            F.lit("/doc/new</loc><lastmod>2024-06-01</lastmod></url>"),
+            F.col("body"), F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    # fetch dates get their own day-granular spread (doc_id*7%500 days)
+    # so lastmod-vs-fetch lands on both sides at every sf — the
+    # second-granular warc_ts offset collapses to one date at test scale
+    crawl_state = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("2023-01-01")),
+                       (did * 7 % 500).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("fetch_date"),
+    )
+    return (
+        recrawl_decisions(sitemap_entries(sitemaps), crawl_state)
+        .orderBy("url")
+    )
+
+
+ORACLE_DD_SITEMAP = """
+WITH entries_raw AS (
+  SELECT source || '.example.com' AS host,
+         '<url><loc>https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) || '</loc><lastmod>'
+           || strftime(DATE '2023-01-01' + to_days(CAST(doc_id * 3 % 400 AS INT)),
+                       '%Y-%m-%d')
+           || '</lastmod></url>' AS entry
+  FROM documents
+),
+sitemaps AS (
+  SELECT host,
+         '<urlset><url><loc>https://' || host
+           || '/doc/new</loc><lastmod>2024-06-01</lastmod></url>'
+           || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
+  FROM entries_raw GROUP BY host
+),
+entries AS (
+  SELECT host,
+         UNNEST(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS url,
+         UNNEST(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)) AS lastmod
+  FROM sitemaps
+),
+crawl_state AS (
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         strftime(DATE '2023-01-01' + to_days(CAST(doc_id * 7 % 500 AS INT)),
+                  '%Y-%m-%d') AS fetch_date
+  FROM documents
+)
+SELECT e.url, e.host, e.lastmod, c.fetch_date,
+       CASE WHEN c.fetch_date IS NULL THEN 'new'
+            WHEN e.lastmod > c.fetch_date THEN 'refetch'
+            ELSE 'fresh' END AS decision
+FROM entries e LEFT JOIN crawl_state c USING (url)
+ORDER BY e.url
+"""
+
+
 DD_BLOOM_WORDS = 64  # deliberately small at test scale so FALSE POSITIVES
 DD_BLOOM_K = 3       # actually occur and the oracle verifies them too
 
@@ -1383,6 +1519,11 @@ _DD_CELLS = {
         [("host", "s"), ("path", "s"), ("matched_rule", "s"),
          ("decision", "s")],
     ),
+    "dd_sitemap": (
+        None, ["url"],
+        [("host", "s"), ("lastmod", "s"), ("fetch_date", "s"),
+         ("decision", "s")],
+    ),
 }
 
 
@@ -1426,6 +1567,7 @@ QUERIES = {
     "dd_clusters": dd_clusters,
     "dd_snapshots": dd_snapshots,
     "dd_robots": dd_robots,
+    "dd_sitemap": dd_sitemap,
 }
 
 # SemDeDup lives in similarity.py (it shares the embedding plumbing and
@@ -1455,6 +1597,7 @@ ORACLES = {
     "dd_semdedup": ORACLE_DD_SEMDEDUP,
     "dd_snapshots": ORACLE_DD_SNAPSHOTS,
     "dd_robots": ORACLE_DD_ROBOTS,
+    "dd_sitemap": ORACLE_DD_SITEMAP,
 }
 
 QUERIES["dd_stats"] = dd_stats

@@ -2295,3 +2295,44 @@ def test_main_content_blocks_zero_shuffle_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dd_sitemap — sitemap ingestion and recrawl scheduling
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_parse_and_recrawl_decisions(spark):
+    from kgforge.operators.dedup import recrawl_decisions, sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.com/1</loc><lastmod>2024-01-10</lastmod></url>"
+        "<url><loc>https://a.com/2</loc><lastmod>2023-01-10</lastmod></url>"
+        "<url><loc>https://a.com/3</loc><lastmod>2023-06-01</lastmod></url>"
+        "</urlset>"
+    )
+    sitemaps = spark.createDataFrame([("a.com", xml)], "host string, xml string")
+    entries = sitemap_entries(sitemaps)
+    assert entries.count() == 3
+    state = spark.createDataFrame(
+        [("https://a.com/1", "2023-12-01"), ("https://a.com/2", "2023-12-01")],
+        "url string, fetch_date string",
+    )
+    got = {r.url: r.decision for r in
+           recrawl_decisions(entries, state).collect()}
+    assert got == {
+        "https://a.com/1": "refetch",   # lastmod after fetch
+        "https://a.com/2": "fresh",     # lastmod before fetch
+        "https://a.com/3": "new",       # never crawled
+    }
+
+
+def test_dd_sitemap_all_decisions_present(spark, sf001):
+    from kgforge.operators.dedup import dd_sitemap
+
+    decisions = {
+        r.decision for r in dd_sitemap(spark, sf001).select("decision")
+        .distinct().collect()
+    }
+    assert decisions == {"new", "refetch", "fresh"}
