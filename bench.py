@@ -61,6 +61,7 @@ HEADLINE = [
     "tx_c4filter",
     "tx_gopher",
     "tx_mainext",
+    "tx_colloc",
     "dd_lines",
     "dd_substr",
     "dd_clusters",

@@ -1906,6 +1906,107 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# tx_colloc — PMI/lift collocation mining (phrase discovery)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5    # prune singleton bigrams before scoring
+COLLOC_LIFT_T = 5.0     # a bigram this far above independence is a phrase
+
+
+def collocations(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram lift scoring for phrase mining — the alias-expansion
+    feeder for the concept dictionary (multi-word surfaces like
+    'data pipeline' must be DISCOVERED before a linker can carry
+    them). score = n_xy * N / (n_left(x) * n_right(y)), i.e. observed
+    over expected under positional independence: every operand is an
+    exact int64 count, so the single IEEE division is bit-identical in
+    any engine and no log/PMI surrogate is needed (lift = exp(PMI)).
+
+    Scale: bigrams roll up map-side to vocabulary^2-bounded keys; the
+    positional marginals derive from that rollup (not the corpus) and
+    come back as broadcasts, and the grand total rides a lazy one-row
+    crossJoin — the corpus itself is touched once."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    bg = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, n - 1).alias("w1"),
+                F.slice(words, 2, n - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    left = counts.groupBy("w1").agg(F.sum("n_xy").alias("n_left"))
+    right = counts.groupBy("w2").agg(F.sum("n_xy").alias("n_right"))
+    total = counts.agg(F.sum("n_xy").alias("_n_total"))
+    scored = (
+        counts.filter(F.col("n_xy") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    lift = (F.col("n_xy") * F.col("_n_total")) / (
+        F.col("n_left") * F.col("n_right")
+    )
+    return scored.select(
+        "w1", "w2", "n_xy", "n_left", "n_right",
+        lift.alias("lift"),
+        F.when(lift >= COLLOC_LIFT_T, F.lit("phrase"))
+        .otherwise(F.lit("chance"))
+        .alias("verdict"),
+    )
+
+
+def tx_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the corpus with planted phrases: every
+    doc_id%4==0 doc ends with ' data pipeline' and every %4==1 with
+    ' vector index' — 'pipeline' and 'index' are out-of-vocabulary, so
+    two genuine collocations exist against the word-salad background
+    and the phrase/chance verdict is never vacuous."""
+    d = read_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    text2 = (
+        F.when(did % 4 == 0, F.concat(F.col("text"), F.lit(" data pipeline")))
+        .when(did % 4 == 1, F.concat(F.col("text"), F.lit(" vector index")))
+        .otherwise(F.col("text"))
+    )
+    return collocations(d.select(text2.alias("text"))).orderBy("w1", "w2")
+
+
+ORACLE_TX_COLLOC = f"""
+WITH docs2 AS (
+  SELECT CASE WHEN doc_id % 4 = 0 THEN text || ' data pipeline'
+              WHEN doc_id % 4 = 1 THEN text || ' vector index'
+              ELSE text END AS text
+  FROM documents
+),
+bg AS (
+  SELECT UNNEST(ws[1 : n - 1]) AS w1, UNNEST(ws[2 : n]) AS w2
+  FROM (SELECT string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+        FROM docs2)
+),
+counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg GROUP BY w1, w2
+),
+lefts AS (SELECT w1, SUM(n_xy) AS n_left FROM counts GROUP BY w1),
+rights AS (SELECT w2, SUM(n_xy) AS n_right FROM counts GROUP BY w2),
+total AS (SELECT SUM(n_xy) AS n_total FROM counts)
+SELECT c.w1, c.w2, c.n_xy,
+       CAST(l.n_left AS BIGINT) AS n_left,
+       CAST(r.n_right AS BIGINT) AS n_right,
+       (c.n_xy * t.n_total) / (l.n_left * r.n_right) AS lift,
+       CASE WHEN (c.n_xy * t.n_total) / (l.n_left * r.n_right)
+                 >= {COLLOC_LIFT_T} THEN 'phrase'
+            ELSE 'chance' END AS verdict
+FROM counts c
+JOIN lefts l USING (w1) JOIN rights r USING (w2) CROSS JOIN total t
+WHERE c.n_xy >= {COLLOC_MIN_COUNT}
+ORDER BY c.w1, c.w2
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # The five tx_* operators melt into ONE registered query (tx_stats) via
 # the same machinery as relational's compounds — every cell of every
@@ -1998,6 +2099,11 @@ _TX_CELLS = {
         [("n_blocks", "n"), ("n_kept", "n"), ("main_chars", "n"),
          ("main_md5", "s")],
     ),
+    "tx_colloc": (
+        None, ["w1", "w2"],
+        [("n_xy", "n"), ("n_left", "n"), ("n_right", "n"), ("lift", "n"),
+         ("verdict", "s")],
+    ),
 }
 
 
@@ -2039,6 +2145,7 @@ QUERIES = {
     "tx_c4filter": tx_c4filter,
     "tx_gopher": tx_gopher,
     "tx_mainext": tx_mainext,
+    "tx_colloc": tx_colloc,
 }
 
 ORACLES = {
@@ -2064,6 +2171,7 @@ ORACLES = {
     "tx_c4filter": ORACLE_TX_C4FILTER,
     "tx_gopher": ORACLE_TX_GOPHER,
     "tx_mainext": ORACLE_TX_MAINEXT,
+    "tx_colloc": ORACLE_TX_COLLOC,
 }
 
 

@@ -2336,3 +2336,51 @@ def test_dd_sitemap_all_decisions_present(spark, sf001):
         .distinct().collect()
     }
     assert decisions == {"new", "refetch", "fresh"}
+
+
+# ---------------------------------------------------------------------------
+# tx_colloc — PMI/lift collocation mining
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_hand_computed_lift(spark):
+    from kgforge.operators.textstats import collocations
+
+    # 10 docs 'a b', 10 docs 'a c' -> bigrams: (a,b) x10, (a,c) x10.
+    # N=20, n_left(a)=20, n_right(b)=10 -> lift(a,b) = 10*20/(20*10) = 1.0
+    docs = spark.createDataFrame(
+        [("a b",)] * 10 + [("a c",)] * 10, "text string"
+    )
+    got = {(r.w1, r.w2): r for r in collocations(docs).collect()}
+    assert set(got) == {("a", "b"), ("a", "c")}
+    assert got[("a", "b")].n_xy == 10
+    assert got[("a", "b")].lift == 1.0
+    assert got[("a", "b")].verdict == "chance"
+
+    # two exclusive bigrams: lift(x,y) = 10*20/(10*10) = 2.0, still chance
+    docs2 = spark.createDataFrame(
+        [("x y",)] * 10 + [("p q",)] * 10, "text string"
+    )
+    got2 = {(r.w1, r.w2): r for r in collocations(docs2).collect()}
+    assert got2[("x", "y")].lift == 2.0
+    assert got2[("x", "y")].verdict == "chance"
+
+    # rare exclusive bigram: lift(x,y) = 5*50/(5*5) = 10 >= threshold
+    docs3 = spark.createDataFrame(
+        [("x y",)] * 5 + [("a b",)] * 45, "text string"
+    )
+    got3 = {(r.w1, r.w2): r for r in collocations(docs3).collect()}
+    assert got3[("x", "y")].lift == 10.0
+    assert got3[("x", "y")].verdict == "phrase"
+
+
+def test_collocations_single_corpus_shuffle(spark):
+    """The corpus contributes exactly one exchange (the bigram rollup);
+    marginals and the total come back as broadcasts."""
+    from kgforge.operators.textstats import collocations
+
+    docs = spark.createDataFrame([("a b c",)] * 30, "text string")
+    plan = collocations(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # left, right, total
