@@ -157,15 +157,89 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
     return timings, counts
 
 
+CRAWL_GAUNTLET = ("robots", "sitemap", "mainext", "colloc", "hearst")
+
+
+def run_crawl_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
+    """The crawl-lifecycle ops (seventh wave): robots.txt frontier
+    filtering, sitemap recrawl scheduling, within-page main-content
+    extraction, collocation mining, Hearst taxonomy induction — same
+    timing/determinism protocol as run_gauntlet. Checksums are value
+    expressions (sum of a semantic quantity), so ordering or rule-
+    resolution drift across parallelism levels cannot hide behind a
+    stable row count."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.dedup import dd_robots_from, dd_sitemap_from
+    from kgforge.operators.graph import hearst_pairs
+    from kgforge.operators.textstats import (
+        main_content_blocks,
+        pages_with_block_markup,
+        tx_colloc_from,
+    )
+    from kgforge.pipeline import taxonomy_suffix_col
+
+    docs = spark.read.parquet(docs_path)
+
+    def hearst(d):
+        did = F.col("doc_id")
+        return hearst_pairs(
+            d.select(
+                did.cast("string").alias("url"),
+                F.concat(F.col("text"), taxonomy_suffix_col(did)).alias("text"),
+            )
+        )
+
+    ops = {
+        "robots": lambda: dd_robots_from(docs),
+        "sitemap": lambda: dd_sitemap_from(docs),
+        "mainext": lambda: main_content_blocks(pages_with_block_markup(docs)),
+        "colloc": lambda: tx_colloc_from(docs),
+        "hearst": lambda: hearst(docs),
+    }
+    blocked = (F.col("decision") == "blocked").cast("long")
+    sched = (
+        F.when(F.col("decision") == "refetch", 1)
+        .when(F.col("decision") == "new", 1000)
+        .otherwise(1000000)
+        .cast("long")
+    )
+    chk_expr = {
+        "robots": blocked,
+        "sitemap": sched,
+        "mainext": F.col("main_chars").cast("long"),
+        "colloc": F.col("n_xy"),
+        "hearst": F.col("n_evidence"),
+    }
+    timings, counts = {}, {}
+    for name in CRAWL_GAUNTLET:
+        df = ops[name]()
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        row = (
+            ops[name]()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(chk_expr[name]).cast("long").alias("chk"),
+            )
+            .collect()[0]
+        )
+        counts[name] = [row["n"], row["chk"]]
+    return timings, counts
+
+
 def child_main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--docs-path", required=True)
+    ap.add_argument("--gauntlet", default="text", choices=("text", "crawl"))
     args = ap.parse_args(sys.argv[2:])
     from kgforge.conf import get_spark
 
     spark = get_spark("scale-text", cpus=args.cpus, shuffle_partitions=4 * args.cpus)
-    timings, counts = run_gauntlet(spark, args.docs_path)
+    runner = run_crawl_gauntlet if args.gauntlet == "crawl" else run_gauntlet
+    timings, counts = runner(spark, args.docs_path)
     wall = sum(timings.values())
     print(json.dumps({
         "cpus": args.cpus, "wall_sec": round(wall, 3),
@@ -202,6 +276,7 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--n", type=int, default=2, help="small level N (large is 4N)")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--gauntlet", default="text", choices=("text", "crawl"))
     args = ap.parse_args()
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -214,7 +289,8 @@ def main() -> int:
         levels = {}
         for cpus in (args.n, 4 * args.n):
             levels[cpus] = json.loads(
-                run_sub("child", ["--cpus", str(cpus), "--docs-path", docs_path])
+                run_sub("child", ["--cpus", str(cpus), "--docs-path", docs_path,
+                                  "--gauntlet", args.gauntlet])
             )
             print(f"local[{cpus}]: {levels[cpus]['wall_sec']}s", file=sys.stderr)
         small, large = levels[args.n], levels[4 * args.n]
@@ -224,8 +300,14 @@ def main() -> int:
         tput_s = args.docs / small["wall_sec"]
         tput_l = args.docs / large["wall_sec"]
         eff = tput_l / (4 * tput_s)
+        job = (
+            "crawl-gauntlet (robots, sitemap, mainext, colloc, hearst)"
+            if args.gauntlet == "crawl"
+            else "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, "
+                 "decontam, dd_substr, linkgraph)"
+        )
         summary = {
-            "job": "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, decontam, dd_substr, linkgraph)",
+            "job": job,
             "docs": args.docs, "n_small": args.n, "n_large": 4 * args.n,
             "wall_small": small["wall_sec"], "wall_large": large["wall_sec"],
             "tput_small_docs_per_sec": round(tput_s, 1),

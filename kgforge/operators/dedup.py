@@ -643,16 +643,9 @@ def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> DataFrame:
     )
 
 
-def dd_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt frontier filtering over a deterministic synthetic
-    frontier: each doc contributes one url whose path class cycles
-    through /doc/, /private/, /private/ok/, /tmp/ and /doc/archive/,
-    and each host's parsed rule set varies by host index (full
-    Disallow/Allow-exception set, Disallow /tmp/ only, or no robots.txt
-    at all) — so longest-match overrides (/private/ok/ allowed inside
-    disallowed /private/), plain blocks, and the no-rules path all
-    carry rows at every sf and the check can never pass vacuously."""
-    d = read_table(spark, "documents", sf_dir)
+def dd_robots_from(d: DataFrame) -> DataFrame:
+    """Frame-level dd_robots (docs(doc_id, source) -> decisions), so the
+    N-vs-4N scaling gauntlet can drive it over its synthesized corpus."""
     did = F.col("doc_id")
     seg = (
         F.when(did % 5 == 0, F.concat(F.lit("/doc/"), did.cast("string")))
@@ -691,6 +684,18 @@ def dd_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "host", "path", "matched_rule", "decision")
         .orderBy("doc_id")
     )
+
+
+def dd_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt frontier filtering over a deterministic synthetic
+    frontier: each doc contributes one url whose path class cycles
+    through /doc/, /private/, /private/ok/, /tmp/ and /doc/archive/,
+    and each host's parsed rule set varies by host index (full
+    Disallow/Allow-exception set, Disallow /tmp/ only, or no robots.txt
+    at all) — so longest-match overrides (/private/ok/ allowed inside
+    disallowed /private/), plain blocks, and the no-rules path all
+    carry rows at every sf and the check can never pass vacuously."""
+    return dd_robots_from(read_table(spark, "documents", sf_dir))
 
 
 ORACLE_DD_ROBOTS = """
@@ -778,17 +783,18 @@ def recrawl_decisions(entries: DataFrame, crawl_state: DataFrame) -> DataFrame:
     )
 
 
-def dd_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-discovery end to end over deterministic synthetic
-    sitemaps: each host publishes one sitemap.xml listing its own pages
-    (lastmod = 2023-01-01 + doc_id*3%400 days, straddling the fetch
-    dates so refetch and fresh both occur) plus one never-crawled url
-    ('new'). The XML is BUILT as a string per host (string-sorted
-    entries in both engines), then parsed back through the real
-    regexp-zip path — so parse, join and decision are all exercised and
-    oracle-checked."""
-    d = read_table(spark, "documents", sf_dir)
+SITEMAP_SHARD = 50000  # the sitemap protocol caps one file at 50k urls
+
+
+def dd_sitemap_from(d: DataFrame) -> DataFrame:
+    """Frame-level dd_sitemap (docs(doc_id, source) -> schedule), so the
+    N-vs-4N scaling gauntlet can drive it over its synthesized corpus.
+    Sitemaps shard at the protocol's 50k-url cap (one XML string per
+    (host, shard) — a sitemap-index file set), so no single reducer
+    ever materializes an unbounded per-host string; the never-crawled
+    probe url rides shard 0 only."""
     did = F.col("doc_id")
+    shard = F.floor(did / SITEMAP_SHARD).cast("int")
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
         did.cast("string"),
@@ -802,17 +808,22 @@ def dd_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</lastmod></url>"),
     )
     host = F.concat(F.col("source"), F.lit(".example.com"))
-    per_host = (
-        d.select(host.alias("host"), entry.alias("entry"))
-        .groupBy("host")
+    per_shard = (
+        d.select(host.alias("host"), shard.alias("shard"), entry.alias("entry"))
+        .groupBy("host", "shard")
         .agg(F.concat_ws("", F.sort_array(F.collect_list("entry"))).alias("body"))
     )
-    sitemaps = per_host.select(
+    new_entry = F.when(
+        F.col("shard") == 0,
+        F.concat(
+            F.lit("<url><loc>https://"), F.col("host"),
+            F.lit("/doc/new</loc><lastmod>2024-06-01</lastmod></url>"),
+        ),
+    ).otherwise(F.lit(""))
+    sitemaps = per_shard.select(
         "host",
         F.concat(
-            F.lit('<urlset><url><loc>https://'), F.col("host"),
-            F.lit("/doc/new</loc><lastmod>2024-06-01</lastmod></url>"),
-            F.col("body"), F.lit("</urlset>"),
+            F.lit("<urlset>"), new_entry, F.col("body"), F.lit("</urlset>"),
         ).alias("xml"),
     )
     # fetch dates get their own day-granular spread (doc_id*7%500 days)
@@ -835,9 +846,22 @@ def dd_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-discovery end to end over deterministic synthetic
+    sitemaps: each host publishes one sitemap.xml listing its own pages
+    (lastmod = 2023-01-01 + doc_id*3%400 days, straddling the fetch
+    dates so refetch and fresh both occur) plus one never-crawled url
+    ('new'). The XML is BUILT as a string per host (string-sorted
+    entries in both engines), then parsed back through the real
+    regexp-zip path — so parse, join and decision are all exercised and
+    oracle-checked."""
+    return dd_sitemap_from(read_table(spark, "documents", sf_dir))
+
+
 ORACLE_DD_SITEMAP = """
 WITH entries_raw AS (
   SELECT source || '.example.com' AS host,
+         CAST(floor(doc_id / 50000) AS INT) AS shard,
          '<url><loc>https://' || source || '.example.com/doc/'
            || CAST(doc_id AS VARCHAR) || '</loc><lastmod>'
            || strftime(DATE '2023-01-01' + to_days(CAST(doc_id * 3 % 400 AS INT)),
@@ -847,10 +871,12 @@ WITH entries_raw AS (
 ),
 sitemaps AS (
   SELECT host,
-         '<urlset><url><loc>https://' || host
-           || '/doc/new</loc><lastmod>2024-06-01</lastmod></url>'
+         '<urlset>'
+           || CASE WHEN shard = 0 THEN '<url><loc>https://' || host
+                || '/doc/new</loc><lastmod>2024-06-01</lastmod></url>'
+              ELSE '' END
            || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
-  FROM entries_raw GROUP BY host
+  FROM entries_raw GROUP BY host, shard
 ),
 entries AS (
   SELECT host,

@@ -1959,13 +1959,10 @@ def collocations(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def tx_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining over the corpus with planted phrases: every
-    doc_id%4==0 doc ends with ' data pipeline' and every %4==1 with
-    ' vector index' — 'pipeline' and 'index' are out-of-vocabulary, so
-    two genuine collocations exist against the word-salad background
-    and the phrase/chance verdict is never vacuous."""
-    d = read_table(spark, "documents", sf_dir)
+def tx_colloc_from(d: DataFrame) -> DataFrame:
+    """Frame-level tx_colloc (docs(doc_id, text) -> scored bigrams) so
+    the N-vs-4N scaling gauntlet can drive it over its synthesized
+    corpus."""
     did = F.col("doc_id")
     text2 = (
         F.when(did % 4 == 0, F.concat(F.col("text"), F.lit(" data pipeline")))
@@ -1973,6 +1970,15 @@ def tx_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
     )
     return collocations(d.select(text2.alias("text"))).orderBy("w1", "w2")
+
+
+def tx_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the corpus with planted phrases: every
+    doc_id%4==0 doc ends with ' data pipeline' and every %4==1 with
+    ' vector index' — 'pipeline' and 'index' are out-of-vocabulary, so
+    two genuine collocations exist against the word-salad background
+    and the phrase/chance verdict is never vacuous."""
+    return tx_colloc_from(read_table(spark, "documents", sf_dir))
 
 
 ORACLE_TX_COLLOC = f"""

@@ -1571,20 +1571,19 @@ TAX_HYPO = ["join", "hash", "scan", "merge",
             "sort", "filter", "query", "stream"]  # real dictionary surfaces
 
 
-def pages_with_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> pages with a deterministic Hearst sentence appended
-    (skipped when doc_id % 11 == 4). Hyponym pair indexes (3d+1, 5d+2)
-    mod 8 can never collide (their difference 2d+1 is odd), so every
-    'such as Y and Z' names two distinct hyponyms."""
-    d = read_table(spark, "documents", sf_dir)
-    did = F.col("doc_id")
+def taxonomy_suffix_col(did):
+    """The deterministic Hearst sentence planted per doc_id (skipped
+    when doc_id % 11 == 4). Hyponym pair indexes (3d+1, 5d+2) mod 8 can
+    never collide (their difference 2d+1 is odd), so every 'such as Y
+    and Z' names two distinct hyponyms. Column-level so the scaling
+    gauntlet can plant the same sentences on its synthesized corpus."""
     hyper = F.element_at(
         F.array(*[F.lit(w) for w in TAX_HYPER]), ((did % 4) + 1).cast("int")
     )
     hypo = F.array(*[F.lit(w) for w in TAX_HYPO])
     y1 = F.element_at(hypo, (((did * 3 + 1) % 8) + 1).cast("int"))
     y2 = F.element_at(hypo, (((did * 5 + 2) % 8) + 1).cast("int"))
-    suffix = (
+    return (
         F.when(did % 11 == 4, F.lit(""))
         .when(did % 3 == 0, F.concat(
             F.lit(" "), hyper, F.lit(" such as "), y1, F.lit(" and "), y2))
@@ -1592,7 +1591,14 @@ def pages_with_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" "), y1, F.lit(" and other "), hyper))
         .otherwise(F.concat(F.lit(" "), hyper, F.lit(" including "), y1))
     )
-    text2 = F.concat(F.col("text"), suffix)
+
+
+def pages_with_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages with the deterministic Hearst sentence
+    appended (taxonomy_suffix_col)."""
+    d = read_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    text2 = F.concat(F.col("text"), taxonomy_suffix_col(did))
     return d.select(
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
