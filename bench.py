@@ -105,9 +105,12 @@ def main() -> int:
     # relational inventory for names the registry no longer carries
     from kgforge.operators import dedup, relational, similarity, textstats
 
+    from kgforge import pipeline
+
     qs = dict(relational.QUERIES)
     qs.update(textstats.QUERIES)  # tx_* standalones melt into tx_stats
     qs.update(dedup.QUERIES)  # dd_exact/passage/url/bloom melt into dd_stats
+    qs.update(pipeline.QUERIES)  # kg_hearst/kg_diff melt into kg_meta
     qs.update(similarity.QUERIES)  # sim_topk_pq is bench/pytest-only
     qs.update(se.queries())
     timings: dict[str, float] = {}
