@@ -36,7 +36,14 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        # 12 significant digits, not 9 decimals: decimal->double
+        # conversion is correctly rounded in the JVM but can be one ulp
+        # off in DuckDB, and at 1e9+ magnitudes an ulp sits above any
+        # fixed decimal precision (seen in rel_pricing_summary's exact
+        # DECIMAL sums at sf0.001/sf0.1). 12 sig digits absorbs the
+        # conversion ulp at every magnitude while still discriminating
+        # real value differences.
+        return "%.12g" % v
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
