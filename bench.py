@@ -62,6 +62,7 @@ HEADLINE = [
     "tx_gopher",
     "tx_mainext",
     "tx_colloc",
+    "tx_postings",
     "dd_lines",
     "dd_substr",
     "dd_clusters",

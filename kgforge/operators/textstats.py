@@ -2013,6 +2013,88 @@ ORDER BY c.w1, c.w2
 """
 
 
+# ---------------------------------------------------------------------------
+# tx_postings — inverted-index construction
+# ---------------------------------------------------------------------------
+
+POSTINGS_TOPK = 5  # postings list cap per term (tf-ordered head)
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   k: int = POSTINGS_TOPK) -> DataFrame:
+    """Build the inverted index BM25 scoring presumes: per term, the
+    document frequency, collection frequency, and a tf-ordered capped
+    postings head serialized as 'doc:tf,doc:tf,...' (ties broken by
+    doc_id so the string is deterministic).
+
+    100-TB shape: (term, doc) tf partials aggregate map-side; the
+    per-term top-k goes through a rank window that Spark plans with a
+    map-side WindowGroupLimit (plan-tested), so each partition prunes
+    to k rows per term BEFORE the exchange and no reducer ever holds a
+    hub term's full postings; the collect_list after the filter is
+    bounded by k."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    entry = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("tf").cast("string")
+    )
+    postings = top.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), entry.alias("s")))
+                ),
+                lambda x: x.getField("s"),
+            ),
+        ).alias("postings")
+    )
+    return stats.join(postings, "term")
+
+
+def tx_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(
+        read_table(spark, "documents", sf_dir)
+    ).orderBy("term")
+
+
+ORACLE_TX_POSTINGS = f"""
+WITH tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+),
+top AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+p AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                    ',' ORDER BY rn) AS postings
+  FROM top WHERE rn <= {POSTINGS_TOPK} GROUP BY term
+)
+SELECT s.term, s.df, s.cf, p.postings
+FROM stats s JOIN p USING (term) ORDER BY s.term
+"""
+
+
 # ---- driver-facing compound ------------------------------------------
 # The five tx_* operators melt into ONE registered query (tx_stats) via
 # the same machinery as relational's compounds — every cell of every
@@ -2110,6 +2192,10 @@ _TX_CELLS = {
         [("n_xy", "n"), ("n_left", "n"), ("n_right", "n"), ("lift", "n"),
          ("verdict", "s")],
     ),
+    "tx_postings": (
+        None, ["term"],
+        [("df", "n"), ("cf", "n"), ("postings", "s")],
+    ),
 }
 
 
@@ -2152,6 +2238,7 @@ QUERIES = {
     "tx_gopher": tx_gopher,
     "tx_mainext": tx_mainext,
     "tx_colloc": tx_colloc,
+    "tx_postings": tx_postings,
 }
 
 ORACLES = {
@@ -2178,6 +2265,7 @@ ORACLES = {
     "tx_gopher": ORACLE_TX_GOPHER,
     "tx_mainext": ORACLE_TX_MAINEXT,
     "tx_colloc": ORACLE_TX_COLLOC,
+    "tx_postings": ORACLE_TX_POSTINGS,
 }
 
 

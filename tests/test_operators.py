@@ -2384,3 +2384,38 @@ def test_collocations_single_corpus_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 3  # left, right, total
+
+
+# ---------------------------------------------------------------------------
+# tx_postings — inverted-index construction
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_hand_corpus(spark):
+    from kgforge.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, "a b b"),
+            (3, "b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in inverted_index(docs, k=2).collect()}
+    assert got["a"].df == 2 and got["a"].cf == 4
+    assert got["a"].postings == "1:3,2:1"          # tf-desc order
+    assert got["b"].df == 3 and got["b"].cf == 4
+    assert got["b"].postings == "2:2,1:1"          # cap at k=2, tie by doc_id
+
+
+def test_inverted_index_map_side_group_limit(spark):
+    """The per-term top-k must plan as a WindowGroupLimit (map-side
+    prune before the exchange) so hub terms never ship their full
+    postings to one reducer."""
+    from kgforge.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = inverted_index(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
