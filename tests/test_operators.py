@@ -2419,3 +2419,97 @@ def test_inverted_index_map_side_group_limit(spark):
     plan = inverted_index(docs)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_robots_filter_randomized_python_parity(spark):
+    """Seeded random frontier x random rule sets (including duplicate
+    prefixes with conflicting allow bits -> length ties) against an
+    independent pure-Python longest-match/allow-wins reference."""
+    import random
+
+    from kgforge.operators.dedup import robots_filter
+
+    rng = random.Random(42)
+    segs = ["/a/", "/a/b/", "/b/", "/c/", "/a/b/c/"]
+    hosts = [f"h{i}.com" for i in range(8)]
+    rules = {
+        h: [
+            (rng.choice(segs), rng.randint(0, 1))
+            for _ in range(rng.randint(0, 4))
+        ]
+        for h in hosts
+    }
+    frontier = [
+        (i, rng.choice(hosts),
+         rng.choice(segs) + f"p{rng.randint(0, 9)}")
+        for i in range(200)
+    ]
+
+    def ref(host, path):
+        cand = [(len(p), a, p) for p, a in rules.get(host, [])
+                if path.startswith(p)]
+        if not cand:
+            return None, "fetch"
+        l, a, p = max(cand)
+        return p, ("fetch" if a == 1 else "blocked")
+
+    fdf = spark.createDataFrame(frontier, "doc_id long, host string, path string")
+    rdf = spark.createDataFrame(
+        [(h, [{"p": p, "a": a} for p, a in rs]) for h, rs in rules.items()],
+        "host string, rules array<struct<p:string,a:int>>",
+    )
+    got = {r.doc_id: (r.matched_rule, r.decision)
+           for r in robots_filter(fdf, rdf).collect()}
+    for i, h, path in frontier:
+        assert got[i] == ref(h, path), (i, h, path, got[i], ref(h, path))
+
+
+def test_main_content_blocks_randomized_python_parity(spark):
+    """Seeded random block soup against an independent pure-Python
+    scorer implementing the same tag-strip / anchor-share / 1-3 rule."""
+    import hashlib
+    import random
+    import re
+
+    from kgforge.operators.textstats import (
+        MAINEXT_MIN_CHARS,
+        main_content_blocks,
+    )
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+    def rand_block():
+        kind = rng.randint(0, 3)
+        body = " ".join(rng.choices(words, k=rng.randint(0, 12)))
+        if kind == 0:
+            return f"<p>{body}</p>"
+        if kind == 1:
+            anchor = " ".join(rng.choices(words, k=rng.randint(1, 4)))
+            return f'<p>{body} <a href="/x">{anchor}</a></p>'
+        if kind == 2:
+            return '<nav><a href="/">home</a> <a href="/b">about</a></nav>'
+        return f"<div>{body}</div>"
+
+    pages = [
+        (i, "\n".join(rand_block() for _ in range(rng.randint(1, 6))))
+        for i in range(120)
+    ]
+
+    def ref(html):
+        kept = []
+        blocks = html.split("\n")
+        for b in blocks:
+            txt = re.sub(r"<[^>]*>", "", b).strip()
+            lnk = sum(len(m) for m in re.findall(r"<a [^>]*>([^<]*)</a>", b))
+            if len(txt) >= MAINEXT_MIN_CHARS and 3 * lnk <= len(txt):
+                kept.append(txt)
+        main = "\n".join(kept)
+        return (len(blocks), len(kept), len(main),
+                hashlib.md5(main.encode()).hexdigest())
+
+    df = spark.createDataFrame(pages, "doc_id long, html_str string")
+    got = {r.doc_id: (r.n_blocks, r.n_kept, r.main_chars, r.main_md5)
+           for r in main_content_blocks(df).collect()}
+    for i, html in pages:
+        assert got[i] == ref(html), (i, html, got[i], ref(html))
