@@ -86,6 +86,7 @@ HEADLINE = [
     "kg_linkgraph",  # web link graph: extract/resolve/host-aggregate
     "kg_hearst",  # Hearst-pattern taxonomy induction over planted pages
     "kg_diff",  # assertion-level changeset between crawl snapshots
+    "kg_dictdiff",  # ontology-refresh impact diff with page counts
     "kg_triples",
 ]
 

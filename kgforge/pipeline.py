@@ -1770,6 +1770,107 @@ ORDER BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# kg_dictdiff — ontology-refresh impact analysis
+# ---------------------------------------------------------------------------
+
+
+def kg_dictdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's operating cycle is re-running the load when the
+    ontology refreshes (new aliases, retired aliases, remapped
+    concepts); before re-linking 10^12 pages, the operator every team
+    runs first is the IMPACT diff: which aliases changed, and how many
+    pages each change touches. v2 is a deterministic mutation of the
+    winner dictionary — alias 'table' added (TOPIC:TABLE), alias
+    'batch' retired, alias 'line' remapped PLACE:AREA1 -> PLACE:AREA2 —
+    all three surfaces occur in the corpus, so every change class
+    carries a non-zero page count at every sf.
+
+    Shape: the dictionary diff is metadata x metadata (a full-outer
+    join of two broadcast-sized winner sets); the page counts are one
+    word-split aggregation of the corpus restricted by a SEMI join to
+    the changed surfaces — at 10^12 pages the corpus contributes one
+    filtered scan, and only (surface, url) pairs for changed aliases
+    ever shuffle."""
+    from kgforge.link import winner_dictionary
+
+    v1 = winner_dictionary(prepared_dictionary(spark)).select(
+        "surface", F.col("canonical_id").alias("old_id")
+    )
+    v2 = (
+        v1.filter(F.col("surface") != "batch")  # retired alias
+        .withColumn(
+            "new_id",
+            F.when(F.col("surface") == "line", F.lit("PLACE:AREA2"))
+            .otherwise(F.col("old_id")),
+        )
+        .select("surface", "new_id")
+        .unionByName(
+            spark.createDataFrame(
+                [("table", "TOPIC:TABLE")], "surface string, new_id string"
+            )
+        )
+    )
+    diff = (
+        v1.join(v2, "surface", "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("old_id").isNull(), F.lit("added"))
+            .when(F.col("new_id").isNull(), F.lit("removed"))
+            .when(F.col("old_id") != F.col("new_id"), F.lit("remapped")),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+    pages = pages_from_documents(spark, sf_dir).filter(F.col("lang") == "en")
+    words = pages.select(
+        "url", F.explode(F.split("text", " ")).alias("surface")
+    )
+    counts = (
+        words.join(F.broadcast(diff.select("surface")), "surface", "left_semi")
+        .groupBy("surface")
+        .agg(F.countDistinct("url").alias("n_pages"))
+    )
+    return (
+        diff.join(counts, "surface", "left")
+        .select(
+            "surface", "old_id", "new_id", "change",
+            F.coalesce("n_pages", F.lit(0)).alias("n_pages"),
+        )
+        .orderBy("surface")
+    )
+
+
+ORACLE_KG_DICTDIFF = f"""
+WITH {_SQL_PAGES}, {_SQL_DICT},
+v1 AS (SELECT surface, canonical_id AS old_id FROM dict),
+v2 AS (
+  SELECT surface,
+         CASE WHEN surface = 'line' THEN 'PLACE:AREA2'
+              ELSE canonical_id END AS new_id
+  FROM dict WHERE surface <> 'batch'
+  UNION ALL SELECT 'table', 'TOPIC:TABLE'
+),
+diff AS (
+  SELECT COALESCE(v1.surface, v2.surface) AS surface, old_id, new_id,
+         CASE WHEN old_id IS NULL THEN 'added'
+              WHEN new_id IS NULL THEN 'removed'
+              WHEN old_id <> new_id THEN 'remapped' END AS change
+  FROM v1 FULL OUTER JOIN v2 ON v1.surface = v2.surface
+),
+counts AS (
+  SELECT surface, COUNT(DISTINCT url) AS n_pages
+  FROM (SELECT url, UNNEST(string_split(text, ' ')) AS surface FROM en_pages)
+  WHERE surface IN (SELECT surface FROM diff WHERE change IS NOT NULL)
+  GROUP BY surface
+)
+SELECT d.surface, d.old_id, d.new_id, d.change,
+       COALESCE(c.n_pages, 0) AS n_pages
+FROM diff d LEFT JOIN counts c USING (surface)
+WHERE d.change IS NOT NULL
+ORDER BY d.surface
+"""
+
+
+# ---------------------------------------------------------------------------
 # kg_meta — melted compound of the three small metadata emitters
 # ---------------------------------------------------------------------------
 # kg_harvest (site constants), kg_dictstats (ADD-style stats corpus) and
@@ -1795,6 +1896,8 @@ _KG_META_SPECS_SPARK = [
     ("kg_hearst", None, None, ["subj", "obj"],
      [("pred", "s"), ("n_evidence", "n"), ("n_pages", "n")]),
     ("kg_diff", None, None, ["subj", "pred", "obj"], [("status", "s")]),
+    ("kg_dictdiff", None, None, ["surface"],
+     [("old_id", "s"), ("new_id", "s"), ("change", "s"), ("n_pages", "n")]),
 ]
 
 
@@ -1828,6 +1931,7 @@ QUERIES = {
     "kg_linkgraph": kg_linkgraph,
     "kg_hearst": kg_hearst,
     "kg_diff": kg_diff,
+    "kg_dictdiff": kg_dictdiff,
     "kg_meta": kg_meta,
 }
 
@@ -1850,6 +1954,7 @@ ORACLES = {
     "kg_centrality": ORACLE_KG_CENTRALITY,
     "kg_hearst": ORACLE_KG_HEARST,
     "kg_diff": ORACLE_KG_DIFF,
+    "kg_dictdiff": ORACLE_KG_DICTDIFF,
 }
 
 
@@ -1886,6 +1991,9 @@ def _build_compound_oracles() -> None:
              [("pred", "s"), ("n_evidence", "n"), ("n_pages", "n")]),
             ("kg_diff", ORACLE_KG_DIFF, None, ["subj", "pred", "obj"],
              [("status", "s")]),
+            ("kg_dictdiff", ORACLE_KG_DICTDIFF, None, ["surface"],
+             [("old_id", "s"), ("new_id", "s"), ("change", "s"),
+              ("n_pages", "n")]),
         ]
     )
 
@@ -1900,5 +2008,5 @@ DRIVER_QUERIES = {
     k: v
     for k, v in QUERIES.items()
     if k not in ("kg_harvest", "kg_dictstats", "kg_report", "kg_hearst",
-                 "kg_diff")
+                 "kg_diff", "kg_dictdiff")
 }

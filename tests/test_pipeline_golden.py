@@ -285,3 +285,20 @@ def test_kg_diff_changeset_semantics(spark, sf001):
             assert r.status == "removed"
             assert r.obj == "TOPIC:JOIN" and did % 10 == 6
     assert {r.status for r in rows} == {"added", "removed"}
+
+
+def test_kg_dictdiff_change_classes(spark, sf001):
+    """The ontology-refresh diff carries all three change classes with
+    non-zero page impact, and every surface in the diff is one of the
+    three planted mutations."""
+    from kgforge.pipeline import kg_dictdiff
+
+    rows = {r.surface: r for r in kg_dictdiff(spark, sf001).collect()}
+    assert set(rows) == {"batch", "line", "table"}
+    assert rows["batch"].change == "removed" and rows["batch"].new_id is None
+    assert rows["table"].change == "added" and rows["table"].old_id is None
+    assert rows["line"].change == "remapped"
+    assert rows["line"].old_id == "PLACE:AREA1"
+    assert rows["line"].new_id == "PLACE:AREA2"
+    for r in rows.values():
+        assert r.n_pages > 0
