@@ -421,6 +421,47 @@ def run_stream_ingest_gate_parity(
     return stream_rows, batch_rows
 
 
+def run_stream_robots_parity(
+    spark: SparkSession, frontier_dir: str, host_rules: DataFrame,
+    max_files_per_trigger: int = 1
+) -> tuple[list, list]:
+    """Streaming twin of the robots.txt crawl gate: in production the
+    frontier IS a stream (urls discovered as pages land), and the
+    politeness decision must be taken per micro-batch. robots_filter is
+    a stateless stream-static join (the rule table is static metadata,
+    broadcast into each micro-batch) plus in-row winner logic — no
+    state store, no watermark, so parity with the batch plan is
+    row-for-row. Returns (stream_rows, batch_rows) sorted by doc_id."""
+    from kgforge.operators.dedup import robots_filter
+
+    schema = "doc_id long, host string, path string"
+    stream = robots_filter(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(frontier_dir),
+        host_rules,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st_robots_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = spark.sql(
+            "SELECT * FROM st_robots_out ORDER BY doc_id"
+        ).collect()
+    finally:
+        q.stop()
+    batch_rows = (
+        robots_filter(spark.read.schema(schema).parquet(frontier_dir), host_rules)
+        .orderBy("doc_id")
+        .collect()
+    )
+    return stream_rows, batch_rows
+
+
 class _InjectedCrash(RuntimeError):
     """Deterministic mid-stream failure injected by the recovery test."""
 

@@ -2513,3 +2513,38 @@ def test_main_content_blocks_randomized_python_parity(spark):
            for r in main_content_blocks(df).collect()}
     for i, html in pages:
         assert got[i] == ref(html), (i, html, got[i], ref(html))
+
+
+def test_stream_robots_parity(spark, tmp_path):
+    """The robots gate is a stateless stream-static broadcast join, so
+    streaming micro-batches must reproduce the batch decisions
+    row-for-row — with both fetch and blocked present in the output."""
+    from kgforge.streaming import run_stream_robots_parity
+
+    flat = str(tmp_path / "frontier")
+    rows1 = [(i, "a.com", f"/private/{i}") for i in range(5)] + [
+        (10 + i, "a.com", f"/private/ok/{i}") for i in range(5)
+    ]
+    rows2 = [(20 + i, "b.com", f"/doc/{i}") for i in range(5)]
+    schema = "doc_id long, host string, path string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(flat + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(flat + "/b2")
+    import glob
+    import os
+    import shutil
+
+    merged = str(tmp_path / "flatdir")
+    os.makedirs(merged)
+    for i, f in enumerate(sorted(glob.glob(flat + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{merged}/{i:05d}.parquet")
+
+    host_rules = spark.createDataFrame(
+        [("a.com", [{"p": "/private/", "a": 0}, {"p": "/private/ok/", "a": 1}])],
+        "host string, rules array<struct<p:string,a:int>>",
+    )
+    stream_rows, batch_rows = run_stream_robots_parity(spark, merged, host_rules)
+    assert [tuple(r) for r in stream_rows] == [tuple(r) for r in batch_rows]
+    decisions = {r["doc_id"]: r["decision"] for r in batch_rows}
+    assert all(decisions[i] == "blocked" for i in range(5))
+    assert all(decisions[10 + i] == "fetch" for i in range(5))
+    assert all(decisions[20 + i] == "fetch" for i in range(5))
