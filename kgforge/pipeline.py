@@ -1870,6 +1870,219 @@ ORDER BY d.surface
 """
 
 
+def kg_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-Vault-style triple support features: per emitted
+    (subj, pred, obj) assertion, the total mention evidence, the number
+    of distinct supporting pages, the number of distinct supporting
+    hosts, and a log-free confidence ratio
+    conf = (pages*hosts) / ((pages+1)*(hosts+1)) — the smoothed
+    multi-source agreement signal a fusion layer ranks assertions by
+    before publishing (the web-scale analog of the reference keeping
+    provenance columns like RAW_* next to every mapped CDM value so
+    downstream QA can weigh an assertion by its source evidence,
+    Oracle/PCORNetLoader_ora.sql:1334 ff.).
+
+    Shape @10^12 docs: mention-granular candidates collapse FIRST to
+    (triple, page) — one corpus-scale shuffle keyed by the full
+    (subj, pred, obj, src_url, host) tuple with map-side partial
+    counts; the second aggregation runs over the already-collapsed
+    per-page frame, so the only COUNT(DISTINCT) left (hosts) never
+    sees mention multiplicity. Exactly-IEEE across engines: the
+    confidence is one double division of exact integer products."""
+    c = _candidates(spark, sf_dir)
+    m = _mapping(spark, sf_dir)
+    cand = c.join(m, "url").select(
+        F.col("canon_url").alias("subj"),
+        "pred",
+        F.col("canonical_id").alias("obj"),
+        F.col("url").alias("src_url"),
+        F.substring_index(
+            F.substring_index("url", "/", 3), "/", -1
+        ).alias("host"),
+    )
+    per_page = cand.groupBy("subj", "pred", "obj", "src_url", "host").agg(
+        F.count(F.lit(1)).alias("n_mentions_page")
+    )
+    return (
+        per_page.groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum("n_mentions_page").cast("long").alias("n_mentions"),
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+        .withColumn(
+            "conf",
+            (F.col("n_pages") * F.col("n_hosts")).cast("double")
+            / ((F.col("n_pages") + F.lit(1)) * (F.col("n_hosts") + F.lit(1))),
+        )
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+ORACLE_KG_CONF = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON},
+cand AS (
+  SELECT c.canon_url AS subj, d.pred, d.canonical_id AS obj,
+         m.url AS src_url, split_part(m.url, '/', 3) AS host
+  FROM mentions m JOIN dict d USING (surface) JOIN canon c ON c.url = m.url
+),
+per_page AS (
+  SELECT subj, pred, obj, src_url, host, COUNT(*)::BIGINT AS n_mentions_page
+  FROM cand GROUP BY ALL
+)
+SELECT subj, pred, obj,
+       SUM(n_mentions_page)::BIGINT AS n_mentions,
+       COUNT(*)::BIGINT AS n_pages,
+       COUNT(DISTINCT host)::BIGINT AS n_hosts,
+       CAST(COUNT(*) * COUNT(DISTINCT host) AS DOUBLE)
+         / ((COUNT(*) + 1) * (COUNT(DISTINCT host) + 1)) AS conf
+FROM per_page GROUP BY subj, pred, obj ORDER BY subj, pred, obj
+"""
+
+
+# negatives per positive triple (the PyTorch-BigGraph default protocol
+# samples many more; 2 keeps the melted frame proportionate)
+NEG_K = 2
+
+# fold the first 12 hex digits of md5 into a 48-bit BIGINT — the same
+# engine-portable integer-hash idiom as dd_simhash_verify (md5 is the
+# one 64-bit-capable hash both engines share)
+def _md5_fold12(col_expr: str):
+    return F.expr(
+        f"aggregate(sequence(1,12), CAST(0 AS BIGINT), (acc, p) -> "
+        f"acc * 16 + CAST(instr('0123456789abcdef', "
+        f"substr(md5({col_expr}), p, 1)) - 1 AS BIGINT))"
+    )
+
+
+def kg_negsamples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training prep (the PyTorch-BigGraph input recipe):
+    hash-split the positive triple set into train/valid/test and attach
+    NEG_K hash-corrupted tail negatives per positive, each checked
+    against the true-triple set (a FILTERED negative sampler — a
+    corruption that lands on a real triple is flagged so the loss never
+    pushes a true edge apart). Zero RNG: the split bucket and the
+    corruption index are both md5-derived, so the emitted training
+    table is bit-identical across runs, partitionings, and engines —
+    the property that makes an embedding-training corpus auditable.
+
+    Shape @10^12 triples: the entity vocabulary is ontology-sized
+    (broadcast class — it is the distinct object set of the concept
+    dictionary, not the corpus); its row_number index is a one-off
+    metadata sort. The corruption lookup is a broadcast equi-join on
+    the hashed index, and the collision check is one equi-join back
+    against the positives — the only corpus-scale exchanges are the
+    positive-set distinct and that join's key shuffle. No window ever
+    runs over the corpus."""
+    from pyspark.sql import Window
+
+    c = _candidates(spark, sf_dir)
+    m = _mapping(spark, sf_dir)
+    pos = (
+        c.join(m, "url")
+        .select(
+            F.col("canon_url").alias("subj"),
+            "pred",
+            F.col("canonical_id").alias("obj"),
+        )
+        .distinct()
+    )
+    ents = pos.select("obj").distinct()
+    # single-partition window is safe: the vocab is dictionary-sized
+    vocab = ents.select(
+        F.col("obj").alias("ent"),
+        (F.row_number().over(Window.orderBy("obj")) - 1).cast("long").alias(
+            "idx"
+        ),
+    )
+    n_ent = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_ent"))
+    hb = _md5_fold12("concat(subj, '|', pred, '|', obj)") % 10
+    keyed = pos.withColumn(
+        "split",
+        F.when(hb == 0, F.lit("test"))
+        .when(hb == 1, F.lit("valid"))
+        .otherwise(F.lit("train")),
+    )
+    expl = keyed.select(
+        "subj", "pred", "obj", "split",
+        F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("j"),
+    )
+    hneg = _md5_fold12(
+        "concat('neg', CAST(j AS STRING), '|', subj, '|', pred, '|', obj)"
+    )
+    neg = expl.crossJoin(F.broadcast(n_ent)).withColumn(
+        "idx", (hneg % F.col("n_ent")).cast("long")
+    )
+    out = (
+        neg.join(F.broadcast(vocab), "idx")
+        .join(
+            pos.select(
+                F.col("subj").alias("p_subj"),
+                F.col("pred").alias("p_pred"),
+                F.col("obj").alias("p_obj"),
+            ),
+            (F.col("subj") == F.col("p_subj"))
+            & (F.col("pred") == F.col("p_pred"))
+            & (F.col("ent") == F.col("p_obj")),
+            "left",
+        )
+        .select(
+            "subj", "pred", "obj",
+            F.col("j").cast("long").alias("j"), "split",
+            F.col("ent").alias("obj_neg"),
+            F.when(F.col("p_subj").isNotNull(), F.lit("y"))
+            .otherwise(F.lit("n"))
+            .alias("collides"),
+        )
+    )
+    return out.orderBy("subj", "pred", "obj", "j")
+
+
+_SQL_MD5_FOLD12 = (
+    "list_sum(list_transform(range(1,13), p -> "
+    "(strpos('0123456789abcdef', substr(md5({expr}), p, 1)) - 1)::BIGINT "
+    "<< (4*(12-p))))::BIGINT"
+)
+
+ORACLE_KG_NEGSAMPLES = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON},
+pos AS (
+  SELECT DISTINCT c.canon_url AS subj, d.pred, d.canonical_id AS obj
+  FROM mentions m JOIN dict d USING (surface) JOIN canon c ON c.url = m.url
+),
+vocab AS (
+  SELECT obj AS ent, ROW_NUMBER() OVER (ORDER BY obj) - 1 AS idx
+  FROM (SELECT DISTINCT obj FROM pos)
+),
+nrow AS (SELECT COUNT(*)::BIGINT AS n_ent FROM vocab),
+splits AS (
+  SELECT subj, pred, obj,
+         CASE WHEN hb = 0 THEN 'test' WHEN hb = 1 THEN 'valid'
+              ELSE 'train' END AS split
+  FROM (
+    SELECT subj, pred, obj,
+           {_SQL_MD5_FOLD12.format(expr="subj || '|' || pred || '|' || obj")}
+             % 10 AS hb
+    FROM pos
+  )
+),
+neg AS (
+  SELECT e.subj, e.pred, e.obj, e.split, e.j,
+         {_SQL_MD5_FOLD12.format(
+             expr="'neg' || CAST(e.j AS VARCHAR) || '|' || e.subj"
+                  " || '|' || e.pred || '|' || e.obj"
+         )} % (SELECT n_ent FROM nrow) AS idx
+  FROM (SELECT s.*, j FROM splits s CROSS JOIN range(0,{NEG_K}) t(j)) e
+)
+SELECT n.subj, n.pred, n.obj, n.j, n.split, v.ent AS obj_neg,
+       CASE WHEN p2.subj IS NOT NULL THEN 'y' ELSE 'n' END AS collides
+FROM neg n JOIN vocab v USING (idx)
+LEFT JOIN pos p2
+  ON p2.subj = n.subj AND p2.pred = n.pred AND p2.obj = v.ent
+ORDER BY n.subj, n.pred, n.obj, n.j
+"""
+
+
 # ---------------------------------------------------------------------------
 # kg_meta — melted compound of the three small metadata emitters
 # ---------------------------------------------------------------------------
@@ -1898,6 +2111,11 @@ _KG_META_SPECS_SPARK = [
     ("kg_diff", None, None, ["subj", "pred", "obj"], [("status", "s")]),
     ("kg_dictdiff", None, None, ["surface"],
      [("old_id", "s"), ("new_id", "s"), ("change", "s"), ("n_pages", "n")]),
+    ("kg_conf", None, None, ["subj", "pred", "obj"],
+     [("n_mentions", "n"), ("n_pages", "n"), ("n_hosts", "n"),
+      ("conf", "n")]),
+    ("kg_negsamples", None, None, ["subj", "pred", "obj", "j"],
+     [("split", "s"), ("obj_neg", "s"), ("collides", "s")]),
 ]
 
 
@@ -1932,6 +2150,8 @@ QUERIES = {
     "kg_hearst": kg_hearst,
     "kg_diff": kg_diff,
     "kg_dictdiff": kg_dictdiff,
+    "kg_conf": kg_conf,
+    "kg_negsamples": kg_negsamples,
     "kg_meta": kg_meta,
 }
 
@@ -1955,6 +2175,8 @@ ORACLES = {
     "kg_hearst": ORACLE_KG_HEARST,
     "kg_diff": ORACLE_KG_DIFF,
     "kg_dictdiff": ORACLE_KG_DICTDIFF,
+    "kg_conf": ORACLE_KG_CONF,
+    "kg_negsamples": ORACLE_KG_NEGSAMPLES,
 }
 
 
@@ -1994,6 +2216,12 @@ def _build_compound_oracles() -> None:
             ("kg_dictdiff", ORACLE_KG_DICTDIFF, None, ["surface"],
              [("old_id", "s"), ("new_id", "s"), ("change", "s"),
               ("n_pages", "n")]),
+            ("kg_conf", ORACLE_KG_CONF, None, ["subj", "pred", "obj"],
+             [("n_mentions", "n"), ("n_pages", "n"), ("n_hosts", "n"),
+              ("conf", "n")]),
+            ("kg_negsamples", ORACLE_KG_NEGSAMPLES, None,
+             ["subj", "pred", "obj", "j"],
+             [("split", "s"), ("obj_neg", "s"), ("collides", "s")]),
         ]
     )
 
@@ -2008,5 +2236,5 @@ DRIVER_QUERIES = {
     k: v
     for k, v in QUERIES.items()
     if k not in ("kg_harvest", "kg_dictstats", "kg_report", "kg_hearst",
-                 "kg_diff", "kg_dictdiff")
+                 "kg_diff", "kg_dictdiff", "kg_conf", "kg_negsamples")
 }

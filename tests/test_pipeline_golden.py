@@ -302,3 +302,51 @@ def test_kg_dictdiff_change_classes(spark, sf001):
     assert rows["line"].new_id == "PLACE:AREA2"
     for r in rows.values():
         assert r.n_pages > 0
+
+
+def test_kg_conf_support_features(spark, sf001):
+    """Triple support features obey their defining invariants: mention
+    evidence dominates page support, page support dominates host
+    support, the confidence is exactly the smoothed ratio of the
+    support products, and the corpus actually exercises multi-page
+    agreement (some assertion is supported by >1 page)."""
+    from kgforge.pipeline import kg_conf
+
+    rows = kg_conf(spark, sf001).collect()
+    assert rows
+    for r in rows:
+        assert r.n_mentions >= r.n_pages >= r.n_hosts >= 1
+        expect = (r.n_pages * r.n_hosts) / (
+            (r.n_pages + 1) * (r.n_hosts + 1)
+        )
+        assert r.conf == expect  # one IEEE division of exact integers
+        assert 0.0 < r.conf < 1.0
+    assert any(r.n_pages > 1 for r in rows), "no multi-page agreement"
+
+
+def test_kg_negsamples_protocol(spark, sf001):
+    """The negative-sampling table implements the filtered protocol:
+    exactly NEG_K corruptions per positive, every corrupted tail drawn
+    from the entity vocabulary, the collision flag exactly marks
+    corruptions that reconstruct a true triple, and the hash split is
+    a function of the triple (constant across its j rows)."""
+    from collections import Counter
+
+    from kgforge.pipeline import NEG_K, kg_negsamples
+
+    rows = kg_negsamples(spark, sf001).collect()
+    assert rows
+    pos = {(r.subj, r.pred, r.obj) for r in rows}
+    vocab = {r.obj for r in rows}
+    per_triple = Counter((r.subj, r.pred, r.obj) for r in rows)
+    assert set(per_triple.values()) == {NEG_K}
+    splits = {}
+    for r in rows:
+        assert r.obj_neg in vocab
+        assert (r.collides == "y") == (
+            (r.subj, r.pred, r.obj_neg) in pos
+        )
+        key = (r.subj, r.pred, r.obj)
+        assert splits.setdefault(key, r.split) == r.split
+    seen = {r.split for r in rows}
+    assert "train" in seen and len(seen) >= 2, seen
