@@ -157,6 +157,115 @@ def run_gauntlet(spark, docs_path: str) -> tuple[dict, dict]:
     return timings, counts
 
 
+def synth_edges(spark, n_nodes: int, out: str) -> None:
+    """Deterministic web-shaped directed graph: every node emits 4
+    intra-block edges (blocks of 1000 — the community structure LPA
+    and the block-restricted CC read), every 10th node one uniform
+    cross-block edge (the long-range links that keep k-hop frontiers
+    growing), and every node one link to a global hub (id = node % 64
+    — in-degree ~n/64, the hot-key skew PageRank's contribution
+    shuffle and khop's reversed expansion must survive). Pure codegen
+    generation — no driver loops."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, n_nodes, 1, numPartitions=64)
+    i = F.col("id")
+    block = i - i % 1000
+    intra = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda j: block + ((i * A1 + j * A2) % M32) % 1000,
+    )
+    cross = F.when(
+        i % 10 == 0, F.array(((i * A2) % M32) % n_nodes)
+    ).otherwise(F.array().cast("array<bigint>"))
+    hub = F.array(i % 64)
+    (
+        ids.select(
+            i.alias("src"),
+            F.explode(F.concat(intra, cross, hub)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+GRAPH_GAUNTLET = ("pagerank", "khop_rev", "lpa", "cc_blocks", "triangles")
+
+
+def run_graph_gauntlet(spark, edges_path: str) -> tuple[dict, dict]:
+    """The graph-iteration ops — PageRank, reversed k-hop BFS through
+    the hub skew, deterministic label propagation, distributed-branch
+    connected components (block-restricted so components are
+    non-trivial), exact degree-ordered triangle counting — same
+    timing/determinism protocol as the text/crawl gauntlets. khop/lpa/
+    cc/triangles checksums are exact-integer sums; PageRank's is the
+    sum of floor(rank * 1e9) — ranks are fixed points of a contraction
+    (iteration count is level-stable: successive L1 deltas differ by
+    ~15%, twelve orders above float noise), so the 1e-9 quantum sits
+    ~1e11 above the cross-parallelism ulp drift of the inflow sums."""
+    from pyspark.sql import functions as F
+
+    from kgforge.canon import connected_components
+    from kgforge.operators.graph import (
+        khop,
+        label_propagation,
+        pagerank,
+        triangles_per_node,
+    )
+
+    edges = spark.read.parquet(edges_path)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    seeds = spark.range(0, 64).select(F.col("id").alias("node"))
+    intra = edges.filter(
+        F.col("src") - F.col("src") % 1000 == F.col("dst") - F.col("dst") % 1000
+    )
+    # LPA and CC run on the block subgraph: over the full graph the
+    # global hubs hand every node the label/component 0 (sum = 0, a
+    # checksum that catches nothing); the block communities give both
+    # ops non-trivial structure to recover
+    und_intra = intra.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    ops = {
+        "pagerank": lambda: pagerank(edges, max_iter=12),
+        "khop_rev": lambda: khop(rev, seeds, 2),
+        "lpa": lambda: label_propagation(und_intra),
+        "cc_blocks": lambda: connected_components(
+            intra, force_distributed=True
+        ),
+        "triangles": lambda: triangles_per_node(und),
+    }
+    chk_expr = {
+        "pagerank": F.floor(F.col("rank") * 1e9),
+        "khop_rev": F.col("dist").cast("long"),
+        "lpa": F.col("label"),
+        "cc_blocks": F.col("comp"),
+        "triangles": F.col("n_tri"),
+    }
+    timings, counts = {}, {}
+    for name in GRAPH_GAUNTLET:
+        # construction IS the work for the iterative ops (each round
+        # localCheckpoints eagerly), so it sits inside the timed region
+        t0 = time.time()
+        df = ops[name]()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        # counts read the SAME frame — the iterative results are already
+        # checkpoint-materialized, so this is a cheap scan, not a rerun
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(chk_expr[name]).cast("long").alias("chk"),
+        ).collect()[0]
+        counts[name] = [row["n"], row["chk"]]
+    return timings, counts
+
+
 CRAWL_GAUNTLET = ("robots", "sitemap", "mainext", "colloc", "hearst")
 
 
@@ -233,12 +342,16 @@ def child_main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--docs-path", required=True)
-    ap.add_argument("--gauntlet", default="text", choices=("text", "crawl"))
+    ap.add_argument("--gauntlet", default="text", choices=("text", "crawl", "graph"))
     args = ap.parse_args(sys.argv[2:])
     from kgforge.conf import get_spark
 
     spark = get_spark("scale-text", cpus=args.cpus, shuffle_partitions=4 * args.cpus)
-    runner = run_crawl_gauntlet if args.gauntlet == "crawl" else run_gauntlet
+    runner = {
+        "text": run_gauntlet,
+        "crawl": run_crawl_gauntlet,
+        "graph": run_graph_gauntlet,
+    }[args.gauntlet]
     timings, counts = runner(spark, args.docs_path)
     wall = sum(timings.values())
     print(json.dumps({
@@ -252,11 +365,13 @@ def synth_main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, required=True)
     ap.add_argument("--docs-path", required=True)
+    ap.add_argument("--kind", default="docs", choices=("docs", "edges"))
     args = ap.parse_args(sys.argv[2:])
     from kgforge.conf import get_spark
 
     spark = get_spark("scale-text-synth", cpus=8, shuffle_partitions=32)
-    synth_docs(spark, args.docs, args.docs_path)
+    synth = synth_edges if args.kind == "edges" else synth_docs
+    synth(spark, args.docs, args.docs_path)
     return 0
 
 
@@ -276,15 +391,17 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--n", type=int, default=2, help="small level N (large is 4N)")
     ap.add_argument("--json-out", default=None)
-    ap.add_argument("--gauntlet", default="text", choices=("text", "crawl"))
+    ap.add_argument("--gauntlet", default="text", choices=("text", "crawl", "graph"))
     args = ap.parse_args()
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     fixture = tempfile.mkdtemp(prefix="kgf_scaletext_", dir=base)
-    docs_path = os.path.join(fixture, "docs.parquet")
+    kind = "edges" if args.gauntlet == "graph" else "docs"
+    docs_path = os.path.join(fixture, f"{kind}.parquet")
     try:
-        print(f"synthesizing {args.docs:,} docs -> {docs_path}", file=sys.stderr)
-        run_sub("synth", ["--docs", str(args.docs), "--docs-path", docs_path])
+        print(f"synthesizing {args.docs:,} {kind} -> {docs_path}", file=sys.stderr)
+        run_sub("synth", ["--docs", str(args.docs), "--docs-path", docs_path,
+                          "--kind", kind])
         load0 = round(os.getloadavg()[0], 2)
         levels = {}
         for cpus in (args.n, 4 * args.n):
@@ -300,12 +417,13 @@ def main() -> int:
         tput_s = args.docs / small["wall_sec"]
         tput_l = args.docs / large["wall_sec"]
         eff = tput_l / (4 * tput_s)
-        job = (
-            "crawl-gauntlet (robots, sitemap, mainext, colloc, hearst)"
-            if args.gauntlet == "crawl"
-            else "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, "
-                 "decontam, dd_substr, linkgraph)"
-        )
+        job = {
+            "crawl": "crawl-gauntlet (robots, sitemap, mainext, colloc, hearst)",
+            "graph": "graph-gauntlet (pagerank, khop_rev, lpa, cc_blocks, "
+                     "triangles; --docs = n_nodes, ~5.1 edges/node)",
+            "text": "text-gauntlet (gates+redact, pack, dd_exact, dd_passage, "
+                    "decontam, dd_substr, linkgraph)",
+        }[args.gauntlet]
         summary = {
             "job": job,
             "docs": args.docs, "n_small": args.n, "n_large": 4 * args.n,
