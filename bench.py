@@ -87,6 +87,7 @@ HEADLINE = [
     "kg_hearst",  # Hearst-pattern taxonomy induction over planted pages
     "kg_diff",  # assertion-level changeset between crawl snapshots
     "kg_dictdiff",  # ontology-refresh impact diff with page counts
+    "kg_typed",  # SHACL-lite range validation against induced scheme rules
     "kg_conf",  # Knowledge-Vault-style triple support/confidence features
     "kg_negsamples",  # filtered negative sampling + hash split (KGE prep)
     "kg_triples",

@@ -1940,6 +1940,107 @@ FROM per_page GROUP BY subj, pred, obj ORDER BY subj, pred, obj
 """
 
 
+def kg_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite range validation of the emitted assertions: the
+    reference's per-value guards (valtype discriminator, value-domain
+    suppression — Oracle/PCORNetLoader_ora.sql:1687, :1914) generalized
+    to ontology-wide range rules. The expected object scheme per
+    predicate is induced from the dictionary itself (the modal scheme
+    by distinct canonical ids, ties to the lexicographically first), so
+    the rule table needs no hand curation; every (pred, obj_scheme)
+    assertion group is then graded ok/violation against it. The
+    V-misfiled 'vector' alias (V:VECTOR under hasTopic, the regex
+    disambiguation fixture) guarantees a non-vacuous violation row at
+    every sf — the anti-join lesson from round 3 applied forward.
+
+    Shape @10^12 docs: the rules are dictionary-derived metadata (a
+    broadcast of one row per predicate); the corpus-scale work is one
+    aggregation of the distinct assertion set keyed by
+    (pred, obj_scheme) — a dozens-row result."""
+    from pyspark.sql import Window
+
+    from kgforge.link import winner_dictionary
+
+    dict_w = winner_dictionary(prepared_dictionary(spark)).select(
+        "pred",
+        F.substring_index("canonical_id", ":", 1).alias("scheme"),
+        "canonical_id",
+    )
+    counts = dict_w.groupBy("pred", "scheme").agg(
+        F.countDistinct("canonical_id").alias("n_ids")
+    )
+    w = Window.partitionBy("pred").orderBy(
+        F.desc("n_ids"), F.asc("scheme")
+    )
+    rules = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("pred", F.col("scheme").alias("expected_scheme"))
+    )
+    c = _candidates(spark, sf_dir)
+    m = _mapping(spark, sf_dir)
+    pos = (
+        c.join(m, "url")
+        .select(
+            F.col("canon_url").alias("subj"),
+            "pred",
+            F.col("canonical_id").alias("obj"),
+        )
+        .distinct()
+    )
+    agg = pos.groupBy(
+        "pred", F.substring_index("obj", ":", 1).alias("obj_scheme")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+    )
+    return (
+        agg.join(F.broadcast(rules), "pred")
+        .select(
+            "pred", "obj_scheme", "expected_scheme",
+            F.when(
+                F.col("obj_scheme") == F.col("expected_scheme"), F.lit("ok")
+            )
+            .otherwise(F.lit("violation"))
+            .alias("status"),
+            "n_triples", "n_subjects",
+        )
+        .orderBy("pred", "obj_scheme")
+    )
+
+
+ORACLE_KG_TYPED = f"""
+WITH RECURSIVE {_SQL_PAGES}, {_SQL_DICT}, {_SQL_MENTIONS}, {_SQL_CANON},
+rules AS (
+  SELECT pred, scheme AS expected_scheme FROM (
+    SELECT pred, split_part(canonical_id, ':', 1) AS scheme,
+           ROW_NUMBER() OVER (
+             PARTITION BY pred
+             ORDER BY COUNT(DISTINCT canonical_id) DESC,
+                      split_part(canonical_id, ':', 1)
+           ) AS rk
+    FROM dict GROUP BY pred, split_part(canonical_id, ':', 1)
+  ) WHERE rk = 1
+),
+pos AS (
+  SELECT DISTINCT c.canon_url AS subj, d.pred, d.canonical_id AS obj
+  FROM mentions m JOIN dict d USING (surface) JOIN canon c ON c.url = m.url
+),
+agg AS (
+  SELECT pred, split_part(obj, ':', 1) AS obj_scheme,
+         COUNT(*)::BIGINT AS n_triples,
+         COUNT(DISTINCT subj)::BIGINT AS n_subjects
+  FROM pos GROUP BY pred, split_part(obj, ':', 1)
+)
+SELECT a.pred, a.obj_scheme, r.expected_scheme,
+       CASE WHEN a.obj_scheme = r.expected_scheme
+            THEN 'ok' ELSE 'violation' END AS status,
+       a.n_triples, a.n_subjects
+FROM agg a JOIN rules r USING (pred)
+ORDER BY a.pred, a.obj_scheme
+"""
+
+
 # negatives per positive triple (the PyTorch-BigGraph default protocol
 # samples many more; 2 keeps the melted frame proportionate)
 NEG_K = 2
@@ -2111,6 +2212,9 @@ _KG_META_SPECS_SPARK = [
     ("kg_diff", None, None, ["subj", "pred", "obj"], [("status", "s")]),
     ("kg_dictdiff", None, None, ["surface"],
      [("old_id", "s"), ("new_id", "s"), ("change", "s"), ("n_pages", "n")]),
+    ("kg_typed", None, None, ["pred", "obj_scheme"],
+     [("expected_scheme", "s"), ("status", "s"), ("n_triples", "n"),
+      ("n_subjects", "n")]),
     ("kg_conf", None, None, ["subj", "pred", "obj"],
      [("n_mentions", "n"), ("n_pages", "n"), ("n_hosts", "n"),
       ("conf", "n")]),
@@ -2150,6 +2254,7 @@ QUERIES = {
     "kg_hearst": kg_hearst,
     "kg_diff": kg_diff,
     "kg_dictdiff": kg_dictdiff,
+    "kg_typed": kg_typed,
     "kg_conf": kg_conf,
     "kg_negsamples": kg_negsamples,
     "kg_meta": kg_meta,
@@ -2175,6 +2280,7 @@ ORACLES = {
     "kg_hearst": ORACLE_KG_HEARST,
     "kg_diff": ORACLE_KG_DIFF,
     "kg_dictdiff": ORACLE_KG_DICTDIFF,
+    "kg_typed": ORACLE_KG_TYPED,
     "kg_conf": ORACLE_KG_CONF,
     "kg_negsamples": ORACLE_KG_NEGSAMPLES,
 }
@@ -2216,6 +2322,9 @@ def _build_compound_oracles() -> None:
             ("kg_dictdiff", ORACLE_KG_DICTDIFF, None, ["surface"],
              [("old_id", "s"), ("new_id", "s"), ("change", "s"),
               ("n_pages", "n")]),
+            ("kg_typed", ORACLE_KG_TYPED, None, ["pred", "obj_scheme"],
+             [("expected_scheme", "s"), ("status", "s"), ("n_triples", "n"),
+              ("n_subjects", "n")]),
             ("kg_conf", ORACLE_KG_CONF, None, ["subj", "pred", "obj"],
              [("n_mentions", "n"), ("n_pages", "n"), ("n_hosts", "n"),
               ("conf", "n")]),
@@ -2236,5 +2345,6 @@ DRIVER_QUERIES = {
     k: v
     for k, v in QUERIES.items()
     if k not in ("kg_harvest", "kg_dictstats", "kg_report", "kg_hearst",
-                 "kg_diff", "kg_dictdiff", "kg_conf", "kg_negsamples")
+                 "kg_diff", "kg_dictdiff", "kg_conf", "kg_negsamples",
+                 "kg_typed")
 }

@@ -350,3 +350,23 @@ def test_kg_negsamples_protocol(spark, sf001):
         assert splits.setdefault(key, r.split) == r.split
     seen = {r.split for r in rows}
     assert "train" in seen and len(seen) >= 2, seen
+
+
+def test_kg_typed_range_validation(spark, sf001):
+    """The induced range rules grade assertion groups correctly: the
+    V-misfiled 'vector' alias yields a guaranteed (hasTopic, V)
+    violation row, the majority TOPIC assertions stay ok, and every
+    row's status is exactly the scheme comparison."""
+    from kgforge.pipeline import kg_typed
+
+    rows = kg_typed(spark, sf001).collect()
+    assert rows
+    by = {(r.pred, r.obj_scheme): r for r in rows}
+    v = by[("hasTopic", "V")]
+    assert v.status == "violation" and v.expected_scheme == "TOPIC"
+    assert v.n_triples > 0
+    ok = by[("hasTopic", "TOPIC")]
+    assert ok.status == "ok"
+    for r in rows:
+        assert (r.status == "ok") == (r.obj_scheme == r.expected_scheme)
+    assert {r.status for r in rows} == {"ok", "violation"}
