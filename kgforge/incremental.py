@@ -105,7 +105,12 @@ def _capped_block_join(
     ).select(
         F.lit("incr_block_dropped").alias("metric"),
         F.col("bk").cast("string").alias("key"),
-        (F.col("n_new") * F.col("n_base")).alias("value"),
+        # pairs avoided; multiply in double so a degenerate hub block at
+        # corpus scale saturates (non-ANSI double->long clamps) instead
+        # of wrapping the long product
+        (F.col("n_new").cast("double") * F.col("n_base"))
+        .cast("long")
+        .alias("value"),
     )
     pairs = (
         new_blocks.join(F.broadcast(keep), "bk")

@@ -324,9 +324,12 @@ def assoc_scores(
                 F.col("support").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("support"))
             ).alias("jaccard"),
+            # double BEFORE multiplying: exact under 2^53, and immune to
+            # int64 wraparound when support * n_total passes 2^63 at
+            # 10^12-page scale (the oracle mirrors the same order)
             (
-                (F.col("support") * F.col("n_total")).cast("double")
-                / (F.col("na") * F.col("nb"))
+                (F.col("support").cast("double") * F.col("n_total"))
+                / (F.col("na").cast("double") * F.col("nb"))
             ).alias("lift"),
         )
     )
@@ -411,7 +414,7 @@ def graph_stats(edges: DataFrame) -> DataFrame:
             F.col("degree") >= 2,
             F.lit(2.0)
             * F.coalesce(F.col("n_tri"), F.lit(0))
-            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            / (F.col("degree").cast("double") * (F.col("degree") - F.lit(1))),
         )
         .otherwise(F.lit(0.0))
         .alias("clustering"),

@@ -1947,8 +1947,12 @@ def collocations(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .join(F.broadcast(right), "w2")
         .crossJoin(F.broadcast(total))
     )
-    lift = (F.col("n_xy") * F.col("_n_total")) / (
-        F.col("n_left") * F.col("n_right")
+    # factors go to double BEFORE multiplying: exact while products are
+    # < 2^53 (every tested sf), and at 10^12-doc scale — where
+    # n_xy * n_total can pass 2^63 — it degrades to IEEE rounding
+    # instead of silent int64 wraparound (ANSI off). Oracle mirrors.
+    lift = (F.col("n_xy").cast("double") * F.col("_n_total")) / (
+        F.col("n_left").cast("double") * F.col("n_right")
     )
     return scored.select(
         "w1", "w2", "n_xy", "n_left", "n_right",
@@ -2002,8 +2006,10 @@ total AS (SELECT SUM(n_xy) AS n_total FROM counts)
 SELECT c.w1, c.w2, c.n_xy,
        CAST(l.n_left AS BIGINT) AS n_left,
        CAST(r.n_right AS BIGINT) AS n_right,
-       (c.n_xy * t.n_total) / (l.n_left * r.n_right) AS lift,
-       CASE WHEN (c.n_xy * t.n_total) / (l.n_left * r.n_right)
+       (CAST(c.n_xy AS DOUBLE) * t.n_total)
+         / (CAST(l.n_left AS DOUBLE) * r.n_right) AS lift,
+       CASE WHEN (CAST(c.n_xy AS DOUBLE) * t.n_total)
+                   / (CAST(l.n_left AS DOUBLE) * r.n_right)
                  >= {COLLOC_LIFT_T} THEN 'phrase'
             ELSE 'chance' END AS verdict
 FROM counts c

@@ -973,7 +973,8 @@ tri_per_node AS (
 SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
        CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
        CASE WHEN d.degree >= 2
-            THEN 2.0 * COALESCE(t.n_tri, 0) / (d.degree * (d.degree - 1))
+            THEN 2.0 * COALESCE(t.n_tri, 0)
+                 / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
             ELSE 0.0 END AS clustering
 FROM deg d LEFT JOIN tri_per_node t USING (node)
 ORDER BY node
@@ -1016,7 +1017,8 @@ pair AS (
 )
 SELECT p.a, p.b, CAST(p.support AS BIGINT) AS support,
        CAST(p.support AS DOUBLE) / (ca.n_pages + cb.n_pages - p.support) AS jaccard,
-       CAST(p.support * t.n_total AS DOUBLE) / (ca.n_pages * cb.n_pages) AS lift
+       (CAST(p.support AS DOUBLE) * t.n_total)
+         / (CAST(ca.n_pages AS DOUBLE) * cb.n_pages) AS lift
 FROM pair p
 JOIN cnt ca ON ca.entity = p.a
 JOIN cnt cb ON cb.entity = p.b
@@ -1912,8 +1914,14 @@ def kg_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "conf",
-            (F.col("n_pages") * F.col("n_hosts")).cast("double")
-            / ((F.col("n_pages") + F.lit(1)) * (F.col("n_hosts") + F.lit(1))),
+            # factors to double BEFORE multiplying: identical IEEE result
+            # wherever the long product is in range, no wraparound when
+            # n_pages * n_hosts passes 2^63 at corpus scale (oracle mirrors)
+            (F.col("n_pages").cast("double") * F.col("n_hosts"))
+            / (
+                (F.col("n_pages") + F.lit(1)).cast("double")
+                * (F.col("n_hosts") + F.lit(1))
+            ),
         )
         .orderBy("subj", "pred", "obj")
     )
@@ -1934,8 +1942,8 @@ SELECT subj, pred, obj,
        SUM(n_mentions_page)::BIGINT AS n_mentions,
        COUNT(*)::BIGINT AS n_pages,
        COUNT(DISTINCT host)::BIGINT AS n_hosts,
-       CAST(COUNT(*) * COUNT(DISTINCT host) AS DOUBLE)
-         / ((COUNT(*) + 1) * (COUNT(DISTINCT host) + 1)) AS conf
+       (CAST(COUNT(*) AS DOUBLE) * COUNT(DISTINCT host))
+         / (CAST(COUNT(*) + 1 AS DOUBLE) * (COUNT(DISTINCT host) + 1)) AS conf
 FROM per_page GROUP BY subj, pred, obj ORDER BY subj, pred, obj
 """
 
