@@ -324,9 +324,11 @@ def assoc_scores(
                 F.col("support").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("support"))
             ).alias("jaccard"),
-            # double BEFORE multiplying: exact under 2^53, and immune to
-            # int64 wraparound when support * n_total passes 2^63 at
-            # 10^12-page scale (the oracle mirrors the same order)
+            # double BEFORE multiplying: exact under 2^53; when
+            # support * n_total passes 2^63 at 10^12-page scale this
+            # avoids the long*long product failing (ANSI-on default in
+            # Spark 4.x throws ARITHMETIC_OVERFLOW; ANSI off would wrap
+            # silently). The oracle mirrors the same order.
             (
                 (F.col("support").cast("double") * F.col("n_total"))
                 / (F.col("na").cast("double") * F.col("nb"))
