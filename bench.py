@@ -25,6 +25,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOAD_AT_START = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
 
+# r4 VERDICT item 4: BENCH_r04.json was captured in a load-4.61 window, 7%
+# above the same-build quiet number. The box's co-tenant noise is measured
+# at ±40-55%, so an artifact recorded under load misstates the engine. If
+# the 1-min load is above the gate when bench starts, WAIT (bounded) for a
+# quiet window instead of recording the neighbor's workload; if the wait
+# budget expires, run anyway but self-label the artifact
+# ("quiet_window": false) so a reader weights it correctly.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
+LOAD_RESUME = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RESUME", "0.5"))
+WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "900"))
+
+
+def _wait_for_quiet() -> float:
+    """Block until the 1-min load drops below LOAD_RESUME (or the wait
+    budget expires). Returns the load at measurement start."""
+    if not hasattr(os, "getloadavg"):
+        return -1.0
+    load = os.getloadavg()[0]
+    if load <= LOAD_GATE:
+        return round(load, 2)
+    t0 = time.time()
+    while time.time() - t0 < WAIT_BUDGET_S:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+        if load <= LOAD_RESUME:
+            break
+    return round(load, 2)
+
 HEADLINE = [
     "rel_pricing_summary",
     "rel_broadcast_linker",
@@ -90,6 +118,7 @@ HEADLINE = [
     "kg_typed",  # SHACL-lite range validation against induced scheme rules
     "kg_conf",  # Knowledge-Vault-style triple support/confidence features
     "kg_negsamples",  # filtered negative sampling + hash split (KGE prep)
+    "kg_fused",  # one-pass fused ingest: gates+mentions+hosts, one scan
     "kg_triples",
 ]
 
@@ -103,6 +132,7 @@ def main() -> int:
     import __spark_entry__ as se
     from kgforge.conf import get_spark
 
+    load_at_measure = _wait_for_quiet()
     spark = get_spark("kgforge-bench", cpus=CPUS, shuffle_partitions=CPUS)
     # the driver registry is consolidated to ~48 names (compound
     # bundles); the bench headline keeps the r01/r02 standalone queries
@@ -211,6 +241,10 @@ def main() -> int:
         # suite started — readers should weight this run accordingly
         # (BENCH/BASELINE.md noise section: ±40-55% swings under load)
         "load_avg_at_start": LOAD_AT_START,
+        # load when measurement actually began (after the bounded
+        # wait-for-quiet) and the self-label a reader should trust
+        "load_avg_at_measure": load_at_measure,
+        "quiet_window": load_at_measure <= LOAD_GATE,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,

@@ -105,10 +105,15 @@ def _capped_block_join(
     ).select(
         F.lit("incr_block_dropped").alias("metric"),
         F.col("bk").cast("string").alias("key"),
-        # pairs avoided; multiply in double so a degenerate hub block at
-        # corpus scale saturates (non-ANSI double->long clamps) instead
-        # of wrapping the long product
-        (F.col("n_new").cast("double") * F.col("n_base"))
+        # pairs avoided; multiply in double, then clamp to the largest
+        # double below 2^63 BEFORE the long cast — under Spark 4.x's
+        # ANSI-on default an overflowing cast throws CAST_OVERFLOW (with
+        # ANSI off it would clamp silently), so a degenerate ~3e9-a-side
+        # hub block must saturate explicitly rather than error the job
+        F.least(
+            F.col("n_new").cast("double") * F.col("n_base"),
+            F.lit(float((1 << 63) - 1024)),
+        )
         .cast("long")
         .alias("value"),
     )
@@ -187,10 +192,7 @@ def incremental_update(
     )
 
     dic = O.propagate_hierarchy(O.clean_dictionary(spark.read.parquet(dict_path)))
-    aliases = [
-        r["alias"]
-        for r in O.linker_dictionary(dic).select("alias").distinct().collect()
-    ]
+    aliases = O.collect_aliases(O.linker_dictionary(dic))
 
     ext = extract_pages(spark.read.parquet(new_pages_path), langs).cache()
     cands = link_mentions(detect_mentions(ext, aliases), dic).cache()

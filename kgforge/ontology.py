@@ -85,6 +85,54 @@ def linker_dictionary(dic: DataFrame) -> DataFrame:
 
 LOCAL_DICT_THRESHOLD = 200_000
 
+# --- driver-side dictionary budget guard (r4 VERDICT item 6) ----------------
+# The dictionary is broadcast-class BY CONTRACT (module docstring), but a
+# pathological input used to reach an unguarded .collect(): size it against
+# a memory-derived budget first, mirroring canon.local_cc_threshold. A
+# breach is a HARD error, not a counted truncation — truncating the alias
+# list would silently change which mentions are detected, the one cap class
+# the engine forbids (metrics can count dropped work, never dropped
+# semantics).
+ALIAS_ENTRY_BYTES = 120  # python str + list slot for one driver-side alias
+DICT_MEM_FRACTION = 0.125  # same share of spark.driver.memory as LOCAL_CC
+ALIAS_GUARD_MIN = 500_000
+ALIAS_GUARD_MAX = 50_000_000
+
+
+class DictionaryBudgetError(RuntimeError):
+    """Alias dictionary exceeds the driver-memory-derived budget."""
+
+
+def alias_budget(spark: SparkSession) -> int:
+    from kgforge.canon import _parse_mem_bytes
+
+    budget = (
+        _parse_mem_bytes(spark.conf.get("spark.driver.memory", None))
+        * DICT_MEM_FRACTION
+    )
+    return int(min(max(budget // ALIAS_ENTRY_BYTES, ALIAS_GUARD_MIN), ALIAS_GUARD_MAX))
+
+
+def collect_aliases(dic: DataFrame, budget: int | None = None) -> list[str]:
+    """Guarded driver fetch of the distinct linker alias list (the
+    token-engine vocabulary detect_mentions broadcasts). ONE take()
+    probes and fetches: within budget the rows ARE the result; over
+    budget fetching stops at budget+1 rows instead of OOMing the driver,
+    and the breach raises with the measured size and the knobs that
+    raise the budget."""
+    if budget is None:
+        budget = alias_budget(dic.sparkSession)
+    probe = dic.select("alias").distinct().take(budget + 1)
+    if len(probe) > budget:
+        raise DictionaryBudgetError(
+            f"alias dictionary exceeds the driver budget ({budget:,} aliases"
+            f" at {ALIAS_ENTRY_BYTES}B each from spark.driver.memory *"
+            f" {DICT_MEM_FRACTION}); probe stopped at {len(probe):,}."
+            " Raise spark.driver.memory or pre-filter the dictionary —"
+            " the linker never truncates silently."
+        )
+    return [r["alias"] for r in probe]
+
 
 def propagate_hierarchy(
     dic: DataFrame, max_depth: int = 20, force_distributed: bool = False
@@ -115,7 +163,19 @@ def propagate_hierarchy(
 
 def _propagate_local(dic: DataFrame, collected=None) -> DataFrame:
     spark = dic.sparkSession
-    rows = [r.asDict() for r in (collected if collected is not None else dic.collect())]
+    if collected is None:
+        # direct callers (tests, notebooks) get the same guarded fetch
+        # as the propagate_hierarchy front door: stop at the threshold
+        # instead of collecting an unbounded dictionary onto the driver
+        collected = dic.take(LOCAL_DICT_THRESHOLD + 1)
+        if len(collected) > LOCAL_DICT_THRESHOLD:
+            raise DictionaryBudgetError(
+                f"_propagate_local called with a dictionary above"
+                f" LOCAL_DICT_THRESHOLD ({LOCAL_DICT_THRESHOLD:,} rows);"
+                " use propagate_hierarchy, which branches to the"
+                " distributed pointer-doubling path"
+            )
+    rows = [r.asDict() for r in collected]
     by_path = {r["concept_path"]: r for r in rows}
     for r in rows:
         cid, cur, steps = r["canonical_id"], r, 0

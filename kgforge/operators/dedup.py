@@ -54,7 +54,6 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .filter(F.col("n_copies") > 1)
-        .orderBy("keeper_doc_id")
     )
 
 
@@ -120,7 +119,6 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("a", "b", "jaccard")
-        .orderBy("a", "b")
     )
 
 
@@ -169,7 +167,6 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").cast("long").alias("b"),
             F.round("jaccard", 9).alias("jaccard"),
         )
-        .orderBy("a", "b")
     )
 
 
@@ -302,7 +299,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
     pairs, _metrics = simhash_pairs(docs)
-    return pairs.orderBy("a", "b")
+    return pairs
 
 
 def dd_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +386,6 @@ def dd_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= 12)
-        .orderBy("a", "b")
     )
 
 
@@ -466,7 +462,6 @@ def passage_dedup(docs: DataFrame, chunk_words: int = PASSAGE_WORDS) -> DataFram
             F.min("doc_id").cast("long").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= 2)
-        .orderBy("phash")
     )
 
 
@@ -554,7 +549,6 @@ def dd_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.min("doc_id").cast("long").alias("first_doc"),
         )
-        .orderBy("canonical_url")
     )
 
 
@@ -682,7 +676,6 @@ def dd_robots_from(d: DataFrame) -> DataFrame:
     return (
         robots_filter(frontier, host_rules)
         .select("doc_id", "host", "path", "matched_rule", "decision")
-        .orderBy("doc_id")
     )
 
 
@@ -842,7 +835,6 @@ def dd_sitemap_from(d: DataFrame) -> DataFrame:
     )
     return (
         recrawl_decisions(sitemap_entries(sitemaps), crawl_state)
-        .orderBy("url")
     )
 
 
@@ -954,7 +946,6 @@ def dd_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed.select("new_id", "bloom_pass")
         .join(dups, "new_id", "left")
         .select("new_id", "bloom_pass", "dup_of")
-        .orderBy("new_id")
     )
 
 
@@ -1070,7 +1061,7 @@ def dd_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = F.concat(F.array(header), body, F.array(footer))
     return line_dedup(
         d.select("doc_id", lines.alias("lines"))
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_DD_LINES = f"""
@@ -1103,6 +1094,75 @@ FROM kept ORDER BY doc_id
 
 
 DD_SUB_L = 6  # duplicated-substring gram length, in words
+
+# rotation step (bits per word offset) for the rolling gram hash; odd so
+# offsets 0..63 all get distinct rotations of the 64-bit word hash
+_GRAM_ROT = 7
+
+
+def _rot64(col, bits: int):
+    b = bits % 64
+    if b == 0:
+        return col
+    return F.shiftleft(col, b).bitwiseOR(F.shiftrightunsigned(col, 64 - b))
+
+
+def _xor_rot(bits: int):
+    # closure factory, NOT a default arg: pyspark derives the lambda's
+    # arity from its full parameter list, so a bound default would be
+    # handed a third lambda variable
+    return lambda x, y: x.bitwiseXOR(_rot64(y, bits))
+
+
+def _rolling_gram_hashes(wh, n, L: int):
+    """L-gram hashes from per-word hashes without building gram strings:
+    gh[i] = XOR_{j<L} rotl64(wh[i+j], j*_GRAM_ROT), assembled in
+    O(log L) zip_with passes by window doubling (pw[w][i] covers words
+    i..i+w-1; pw[2w][i] = pw[w][i] XOR rotl(pw[w][i+w], w*R)), then the
+    binary decomposition of L. The r4 shape hashed an L-word string per
+    position (xxhash64 over array_join(slice(ws,..))) — O(n*L) word
+    copies + string allocs per doc, the dominant DRAM traffic of the
+    gram stage; this is pure long arithmetic on arrays, no strings, and
+    the bit ops can't overflow so ANSI mode is indifferent. Equal grams
+    hash equal by construction; distinct grams collide at the same
+    ~2^-64 birthday rate the old 64-bit hash already accepted (word
+    hashes are xxhash64, so rotated XOR combinations are
+    indistinguishable from random for non-adversarial text). The DuckDB
+    oracle is unaffected: it detects duplicates on md5 of the gram
+    STRING, so any injective-whp gram hash matches it.
+
+    `wh` is a Column of array<bigint> (per-word hashes), `n` a Column
+    with its length, `L` a plan-time python int >= 1."""
+    if L == 1:
+        return wh
+    pw = {1: wh}
+    w = 1
+    while 2 * w <= L:
+        a, step = pw[w], w
+        out_len = n - 2 * step + 1  # >= 1 whenever n >= L (guarded by caller)
+        pw[2 * w] = F.zip_with(
+            F.slice(a, 1, out_len),
+            F.slice(a, step + 1, out_len),
+            _xor_rot(step * _GRAM_ROT),
+        )
+        w *= 2
+    # combine the binary decomposition of L, widest window first
+    parts = []
+    rem = L
+    while rem:
+        p = 1 << (rem.bit_length() - 1)
+        parts.append(p)
+        rem -= p
+    cur, off = pw[parts[0]], parts[0]
+    for p in parts[1:]:
+        out_len = n - L + 1 if off + p == L else n - (off + p) + 1
+        cur = F.zip_with(
+            F.slice(cur, 1, out_len),
+            F.slice(pw[p], off + 1, out_len),
+            _xor_rot(off * _GRAM_ROT),
+        )
+        off += p
+    return cur
 
 
 def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
@@ -1168,9 +1228,8 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
     npos = F.size("ws") - L + 1
     gh = F.when(
         npos > 0,
-        F.transform(
-            F.sequence(F.lit(0), npos - 1),
-            lambda i: F.xxhash64(F.array_join(F.slice("ws", i + 1, L), " ")),
+        _rolling_gram_hashes(
+            F.transform("ws", lambda w: F.xxhash64(w)), F.size("ws"), L
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     ex = docs.select("doc_id", F.posexplode(gh).alias("pos", "h"))
@@ -1247,7 +1306,7 @@ def dd_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("text", " "),
         ).alias("ws"),
     )
-    return substr_dedup(d).orderBy("doc_id")
+    return substr_dedup(d)
 
 
 ORACLE_DD_SUBSTR = f"""
@@ -1344,7 +1403,6 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("drop")
             .alias("decision"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1461,7 +1519,6 @@ def snapshot_dedup(snaps: DataFrame) -> DataFrame:
             F.countDistinct("content_md5").cast("long").alias("n_versions"),
             F.sum("changed").cast("long").alias("n_changes"),
         )
-        .orderBy("url")
     )
 
 

@@ -216,7 +216,7 @@ def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     a wrong endianness, offset, or magic branch in the parser breaks the
     hash."""
     d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
-    return mm_extract_meta(mm_synth_payloads(d)).orderBy("doc_id")
+    return mm_extract_meta(mm_synth_payloads(d))
 
 
 ORACLE_MM_META = """
@@ -294,7 +294,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable variant: real in-format payloads (see mm_meta),
     real header decode, arithmetic oracle."""
     d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
-    return mm_resize_batch(mm_synth_payloads(d)).orderBy("doc_id")
+    return mm_resize_batch(mm_synth_payloads(d))
 
 
 ORACLE_MM_RESIZE = """
@@ -582,7 +582,6 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "frame_off"
             ),
         )
-        .orderBy("doc_id", "frame_idx")
     )
 
 
@@ -652,7 +651,7 @@ def mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "doc_id",
         *[F.element_at("feat", i + 1).alias(f"f{i}") for i in range(EMBED_DIM)],
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_MM_EMBED = """
@@ -804,7 +803,7 @@ def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically, so a wrong chunk offset or endianness breaks the
     hash (same discipline as mm_meta)."""
     d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
-    return mm_audio_meta(mm_audio_synth(d)).orderBy("doc_id")
+    return mm_audio_meta(mm_audio_synth(d))
 
 
 ORACLE_MM_AUDIO = """

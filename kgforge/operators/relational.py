@@ -1465,15 +1465,95 @@ def _compound(spark: SparkSession, sf_dir: str, specs: list[tuple]) -> DataFrame
         if flt is not None:
             df = df.filter(flt)
         part = _melt(df, section, key_cols, cells)
+        part = part.unionByName(_section_subhash(part))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# Per-section subhash (r4 VERDICT item 5): one extra melted row per
+# section whose v_str is an order-insensitive fold-sum over every cell
+# of that section, computed identically in both engines, so a red
+# compound row localizes to a section without a local re-run. The fold
+# is the engine-portable md5-first-12-hex-digits -> 48-bit BIGINT idiom
+# (the one 64-bit-capable hash Spark and DuckDB share), reduced mod 2^36
+# so a SUM over the largest melted section (~3M cells at sf0.1) stays
+# far inside BIGINT under ANSI. v_num is rendered as
+# floor(v).lpad(round((v-floor(v))*1e9)) built ONLY from IEEE double ops
+# (floor/sub/mul) and BIGINT casts — every step is bit-identical across
+# engines, unlike decimal casts (DuckDB's double->DECIMAL(38,9) scales
+# by 1e9 in double and is inexact past 2^53, measured: 1.7e15 renders
+# ...000.025165824 there) or raw double->VARCHAR (scientific-notation
+# thresholds differ). NaN/±overflow branch to sentinels before any
+# ANSI-throwing BIGINT cast.
+_SUBHASH_MOD = 1 << 36
+
+
+def _num_repr(cast_str: str) -> str:
+    b = f"CAST(CAST(floor(v_num) AS BIGINT) AS {cast_str})"
+    f9 = (
+        f"lpad(CAST(CAST(floor((v_num - floor(v_num)) * 1e9 + 0.5) AS BIGINT) "
+        f"AS {cast_str}), 10, '0')"
+    )
+    return (
+        "CASE WHEN v_num IS NULL THEN 'ø' "
+        "WHEN isnan(v_num) THEN 'nan' "
+        "WHEN v_num >= 8.9e18 THEN 'big' "
+        "WHEN v_num <= -8.9e18 THEN '-big' "
+        f"ELSE concat({b}, '.', {f9}) END"
+    )
+
+
+_SUBHASH_ROW_REPR_SPARK = (
+    f"concat_ws('|', rk, ck, coalesce(v_str, 'ø'), {_num_repr('STRING')})"
+)
+_SUBHASH_ROW_REPR_SQL = (
+    f"concat_ws('|', rk, ck, COALESCE(v_str, 'ø'), {_num_repr('VARCHAR')})"
+)
+
+
+def _section_subhash(part: DataFrame) -> DataFrame:
+    fold = F.expr(
+        f"aggregate(sequence(1,12), CAST(0 AS BIGINT), (acc, p) -> "
+        f"acc * 16 + CAST(instr('0123456789abcdef', "
+        f"substr(md5({_SUBHASH_ROW_REPR_SPARK}), p, 1)) - 1 AS BIGINT))"
+    )
+    return (
+        part.select("section", (fold % _SUBHASH_MOD).alias("fold"))
+        .groupBy("section")
+        .agg(F.sum("fold").alias("subsum"))
+        .select(
+            "section",
+            F.lit("_subhash").alias("rk"),
+            F.lit("_subhash").alias("ck"),
+            F.col("subsum").cast("string").alias("v_str"),
+            F.lit(None).cast("double").alias("v_num"),
+        )
+    )
+
+
+def _section_subhash_sql(melted_sql: str) -> str:
+    fold = (
+        "list_sum(list_transform(range(1,13), p -> "
+        f"(strpos('0123456789abcdef', substr(md5({_SUBHASH_ROW_REPR_SQL}), p, 1)) "
+        "- 1)::BIGINT << (4*(12-p))))::BIGINT"
+    )
+    return (
+        "SELECT section, '_subhash' AS rk, '_subhash' AS ck, "
+        "CAST(CAST(SUM(fold) AS BIGINT) AS VARCHAR) AS v_str, "
+        "CAST(NULL AS DOUBLE) AS v_num FROM ("
+        f"SELECT section, ({fold}) % {_SUBHASH_MOD} AS fold "
+        f"FROM ({melted_sql})"
+        ") GROUP BY section"
+    )
 
 
 def _compound_sql(specs: list[tuple]) -> str:
     parts = []
     for section, base_sql, where, key_cols, cells in specs:
         base = f"SELECT * FROM ({base_sql}) WHERE {where}" if where else base_sql
-        parts.append(_melt_sql(section, base, key_cols, cells))
+        melted = _melt_sql(section, base, key_cols, cells)
+        parts.append(melted)
+        parts.append(_section_subhash_sql(melted))
     return "\nUNION ALL\n".join(parts)
 
 

@@ -94,7 +94,6 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "cand_id", "cos")
-        .orderBy("query_id", "rnk")
     )
 
 
@@ -213,7 +212,6 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_k)
         .select("query_id", "rnk", "cand_id", "cos")
-        .orderBy("query_id", "rnk")
     )
 
 
@@ -322,7 +320,6 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a", "b", F.round(dot / (F.col("na") * F.col("nb")), 9).alias("cos")
         )
         .filter(F.col("cos") >= NEARDUP_T)
-        .orderBy("a", "b")
     )
 
 
@@ -407,7 +404,6 @@ def sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(wk))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "cand_id", "cos")
-        .orderBy("query_id", "rnk")
     )
 
 
@@ -546,7 +542,6 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_above",
             F.col("cell").cast("int").alias("cell"),
         )
-        .orderBy("dup_id")
     )
 
 
@@ -745,7 +740,6 @@ def pq_topk(
         scored.withColumn("rnk", F.row_number().over(wk))
         .filter(F.col("rnk") <= top_k)
         .select("query_id", "rnk", "cand_id", "cos")
-        .orderBy("query_id", "rnk")
     )
 
 

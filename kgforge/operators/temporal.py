@@ -39,7 +39,6 @@ def asof_last_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("last_purchase_ts", purchase_ts)
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts", "last_purchase_ts")
-        .orderBy("event_id")
     )
 
 
@@ -114,7 +113,7 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    return asof_join(clicks, purchases).orderBy("event_id")
+    return asof_join(clicks, purchases)
 
 
 ORACLE_ASOF_JOIN = """

@@ -36,7 +36,7 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         en_hits.alias("en_hits"),
         ratio.alias("en_ratio"),
         F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_TX_LANGID = """
@@ -71,7 +71,7 @@ def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (n_words >= 10) & (mean_wl >= 2.0) & (mean_wl <= 12.0)
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_TX_QUALITY = """
@@ -100,7 +100,7 @@ def tx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]', 0)")).alias(
             "re_tokens"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_TX_TOKENS = r"""
@@ -123,7 +123,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
     )
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return d.select("doc_id", fp.alias("fingerprint"))
 
 
 ORACLE_TX_FINGERPRINT = """
@@ -190,7 +190,7 @@ def decontam(docs: DataFrame, k: int = 13, eval_mod: int = 23) -> DataFrame:
 
 def tx_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, "documents", sf_dir)
-    return decontam(d).orderBy("doc_id")
+    return decontam(d)
 
 
 def _gram13_sql(arr: str) -> str:
@@ -250,7 +250,6 @@ def tx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "bucket", "rate_permille",
             (F.col("bucket") < F.col("rate_permille")).alias("sampled"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -344,7 +343,7 @@ def pack_docs(docs: DataFrame, n_shards: int = 64, seq_len: int = 2048) -> DataF
 
 
 def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pack_docs(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+    return pack_docs(read_table(spark, "documents", sf_dir))
 
 
 ORACLE_TX_PACK = """
@@ -406,7 +405,7 @@ def redact(docs: DataFrame) -> DataFrame:
 
 def tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, "documents", sf_dir)
-    return redact(d).orderBy("doc_id")
+    return redact(d)
 
 
 ORACLE_TX_REDACT = r"""
@@ -766,7 +765,7 @@ def bpe_train(vocab: DataFrame, n_merges: int = 30) -> tuple[list, DataFrame]:
 
 
 def tx_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return classify(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+    return classify(read_table(spark, "documents", sf_dir))
 
 
 _WH_SQL = (
@@ -840,7 +839,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
 def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, "documents", sf_dir)
-    return repetition_stats(d).orderBy("doc_id")
+    return repetition_stats(d)
 
 
 def _gram_sql(k: int) -> str:
@@ -925,7 +924,6 @@ def winnow(docs: DataFrame, k: int = WIN_K, w: int = WIN_W) -> DataFrame:
 def tx_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         winnow(read_table(spark, "documents", sf_dir))
-        .orderBy("doc_id", "first_win")
     )
 
 
@@ -1046,7 +1044,7 @@ def dsir(docs: DataFrame) -> DataFrame:
 
 
 def tx_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dsir(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+    return dsir(read_table(spark, "documents", sf_dir))
 
 
 _WH_DSIR_SQL = (
@@ -1371,7 +1369,7 @@ def lmscore(docs: DataFrame) -> DataFrame:
 
 
 def tx_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lmscore(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+    return lmscore(read_table(spark, "documents", sf_dir))
 
 
 def _lm_bucket_sql(e: str) -> str:
@@ -1474,7 +1472,7 @@ def diversity(docs: DataFrame) -> DataFrame:
 
 
 def tx_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return diversity(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+    return diversity(read_table(spark, "documents", sf_dir))
 
 
 ORACLE_TX_DIVERSITY = f"""
@@ -1668,7 +1666,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
 
 
 def tx_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gopher_rules(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+    return gopher_rules(read_table(spark, "documents", sf_dir))
 
 
 ORACLE_TX_GOPHER = f"""
@@ -1726,7 +1724,7 @@ FROM r ORDER BY doc_id
 
 
 def tx_c4filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return c4_filter(read_table(spark, "documents", sf_dir)).orderBy("doc_id")
+    return c4_filter(read_table(spark, "documents", sf_dir))
 
 
 ORACLE_TX_C4FILTER = f"""
@@ -1848,7 +1846,7 @@ def pages_with_block_markup(d: DataFrame) -> DataFrame:
 def tx_mainext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main_content_blocks(
         pages_with_block_markup(read_table(spark, "documents", sf_dir))
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_TX_MAINEXT = f"""
@@ -1950,7 +1948,9 @@ def collocations(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # factors go to double BEFORE multiplying: exact while products are
     # < 2^53 (every tested sf), and at 10^12-doc scale — where
     # n_xy * n_total can pass 2^63 — it degrades to IEEE rounding
-    # instead of silent int64 wraparound (ANSI off). Oracle mirrors.
+    # instead of the long*long product failing (ANSI-on default in
+    # Spark 4.x throws ARITHMETIC_OVERFLOW; ANSI off would wrap
+    # silently). Oracle mirrors the same evaluation order.
     lift = (F.col("n_xy").cast("double") * F.col("_n_total")) / (
         F.col("n_left").cast("double") * F.col("n_right")
     )
@@ -1973,7 +1973,7 @@ def tx_colloc_from(d: DataFrame) -> DataFrame:
         .when(did % 4 == 1, F.concat(F.col("text"), F.lit(" vector index")))
         .otherwise(F.col("text"))
     )
-    return collocations(d.select(text2.alias("text"))).orderBy("w1", "w2")
+    return collocations(d.select(text2.alias("text")))
 
 
 def tx_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:

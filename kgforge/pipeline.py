@@ -28,7 +28,7 @@ from kgforge import emit as E
 from kgforge import ontology as O
 from kgforge.checkpoint import CheckpointManager, fingerprint_input
 from kgforge.conf import NEAR_DUP_THRESHOLD
-from kgforge.extract import extract_pages
+from kgforge.extract import extract_pages, extract_text_udf
 from kgforge.mentions import detect_mentions
 from kgforge.link import attach_qualifiers, link_mentions
 from kgforge.metrics import triple_report, write_metrics
@@ -78,10 +78,7 @@ def run_pipeline(
     dic = O.propagate_hierarchy(
         O.clean_dictionary(spark.read.parquet(dict_path))
     )
-    aliases = [
-        r["alias"]
-        for r in O.linker_dictionary(dic).select("alias").distinct().collect()
-    ]
+    aliases = O.collect_aliases(O.linker_dictionary(dic))
 
     mentions = cp.run_stage(
         "mentions", lambda: detect_mentions(extracted, aliases), fp_mentions
@@ -217,14 +214,7 @@ def prepared_dictionary(spark: SparkSession) -> DataFrame:
 
 
 def _linker_aliases(spark: SparkSession) -> list[str]:
-    return sorted(
-        {
-            r["alias"]
-            for r in O.linker_dictionary(prepared_dictionary(spark))
-            .select("alias")
-            .collect()
-        }
-    )
+    return sorted(O.collect_aliases(O.linker_dictionary(prepared_dictionary(spark))))
 
 
 # Shared stage results for the kg_* family, keyed per (session, sf_dir).
@@ -304,7 +294,7 @@ def kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.md5(F.col("text")).alias("text_md5"),
         F.length("text").alias("text_len"),
-    ).orderBy("url")
+    )
 
 
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,7 +302,6 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.groupBy("url", "surface")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
-        .orderBy("url", "surface")
     )
 
 
@@ -328,19 +317,25 @@ def kg_link(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring_index("canonical_id", ":", -1).alias("obj_code"),
         )
         .agg(F.count(F.lit(1)).alias("n_mentions"))
-        .orderBy("url", "surface")
     )
 
 
 def kg_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _mapping(spark, sf_dir).orderBy("url")
+    return _mapping(spark, sf_dir)
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the full pipeline, projected to the assertion set. All
     stages come from the per-session cache — extraction runs its Arrow
-    UDF once for the whole kg_* family."""
-    return _triples(spark, sf_dir).orderBy("subj", "pred", "obj", "src_url")
+    UDF once for the whole kg_* family.
+
+    No trailing sort: the driver/verify compare is order-insensitive
+    (tools/verify_local.py canon()), and a global orderBy on a
+    corpus-sized frame is a full range-partition exchange bought for
+    presentation only (r4 VERDICT item 3 — same audit applied to every
+    corpus-∝ driver query; small aggregate outputs keep theirs for
+    readability at zero cost)."""
+    return _triples(spark, sf_dir)
 
 
 def pages_with_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,7 +403,7 @@ def kg_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = E.emit_measurement_triples(cand, ident)
     return t.select(
         "subj", "pred", "obj", "qual_comparator", "qual_value_num", "src_url"
-    ).orderBy("subj", "obj")
+    )
 
 
 def kg_qualifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,7 +417,6 @@ def kg_qualifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url", "canonical_id", "q_max_value", "q_min_value", "q_n_numeric"
         )
         .agg(F.count(F.lit(1)).alias("n_mentions"))
-        .orderBy("url", "canonical_id")
     )
 
 
@@ -498,7 +492,7 @@ def kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "subj", "pred", "obj", "qual_kind", "qual_comparator",
         "qual_value_num", "src_url",
-    ).orderBy("subj")
+    )
 
 
 ORACLE_KG_SPANS = """
@@ -780,7 +774,6 @@ def kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e2, ["url", "p2"])
         .groupBy("subj_concept", "rel", "obj_concept")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("subj_concept", "rel", "obj_concept")
     )
 
 
@@ -932,7 +925,6 @@ def kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tri").cast("long").alias("n_tri"),
             "clustering",
         )
-        .orderBy("node")
     )
 
 
@@ -998,7 +990,7 @@ def kg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pe = c.filter(F.col("kind") == "entity").select(
         "url", F.col("canonical_id").alias("entity")
     )
-    return G.assoc_scores(pe).orderBy("a", "b")
+    return G.assoc_scores(pe)
 
 
 ORACLE_KG_ASSOC = f"""
@@ -1063,7 +1055,6 @@ def kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         G.khop(bidir, seeds, KHOP_K)
         .select("node", F.col("dist").cast("int").alias("dist"))
-        .orderBy("node")
     )
 
 
@@ -1133,7 +1124,6 @@ def kg_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         G.harmonic_centrality(bidir, CENTRALITY_K)
         .select("node", F.col("n_reach").cast("long").alias("n_reach"), "harmonic")
-        .orderBy("node")
     )
 
 
@@ -1405,6 +1395,112 @@ def kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compound(spark, sf_dir, _LG_SPECS_SPARK)
 
 
+def kg_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass fused ingest (r4 VERDICT item 8): quality gates, entity
+    mentions, and the inbound host link rollup from a SINGLE page scan.
+
+    At 10^12 pages the crawl read dominates everything downstream, and
+    the production reality is one read feeding many consumers. Running
+    the three stages separately scans + Arrow-extracts the corpus three
+    times; DataFrame branches don't help (each union branch re-executes
+    the shared subtree — Spark has no plan-level CSE across actions or
+    union arms, and caching the corpus at this scale is its own job).
+    The fused shape makes sharing STRUCTURAL instead: the plan is
+    linear — per page, one select computes the extracted text (Arrow
+    UDF, once), the mention array (token-engine UDF, once) and the
+    resolved link array (regex codegen), each page then emits one
+    struct row per (section, key) contribution, and a single explode +
+    groupBy(section, key) aggregates all three analytics through ONE
+    exchange. No barrier, no recompute, no cache.
+
+    Sections (key, n, w):
+      gates:    key=src_host, n=pages, w=total words
+      kept:     key=src_host, n=pages passing the tx_quality keep rule
+      mentions: key=surface,  n=entity mentions (token engine)
+      hosts:    key=dst_host, n=inbound resolved links
+    Outputs are pytest-asserted hash-identical to the separate-path
+    composition (extract_pages -> detect_mentions rollup;
+    extract_hyperlinks -> resolve_links rollup) and BENCH/fused.py
+    records the measured scan-share saving."""
+    from kgforge.mentions import make_mention_udf
+    from kgforge.operators import graph as G
+    from kgforge.operators.dedup import canonical_url_col
+
+    pages = pages_with_links(spark, sf_dir)
+    mudf = make_mention_udf(_linker_aliases(spark))
+
+    html = F.decode(F.col("html"), "UTF-8")
+    links = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(G._ANCHOR_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(html, F.lit(G._ANCHOR_RE), F.lit(2)).alias("anchor"),
+    )
+    per = pages.select(
+        F.regexp_extract("url", G._HOST_RE, 1).alias("src_host"),
+        extract_text_udf(F.col("html")).alias("text"),
+        links.alias("lk"),
+    ).select(
+        "src_host",
+        mudf(F.col("text")).alias("ms"),
+        F.split("text", " ").alias("ws"),
+        F.transform(
+            "lk",
+            lambda a: F.regexp_extract(
+                canonical_url_col(
+                    F.when(a["href"].rlike("^https?://"), a["href"])
+                    .when(a["href"].startswith("//"),
+                          F.concat(F.lit("https:"), a["href"]))
+                    .when(a["href"].startswith("/"),
+                          F.concat(F.lit("https://"), F.col("src_host"),
+                                   a["href"]))
+                ),
+                G._HOST_RE, 1,
+            ),
+        ).alias("dst_hosts"),
+    )
+    n_words = F.size("ws")
+    mean_wl = (F.length(F.array_join("ws", "")) / n_words).cast("double")
+    keep = (n_words >= 10) & (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    contrib = F.concat(
+        F.array(
+            F.struct(
+                F.lit("gates").alias("section"), F.col("src_host").alias("key"),
+                F.lit(1).cast("long").alias("n"),
+                n_words.cast("long").alias("w"),
+            )
+        ),
+        F.when(
+            keep,
+            F.array(
+                F.struct(
+                    F.lit("kept").alias("section"), F.col("src_host").alias("key"),
+                    F.lit(1).cast("long").alias("n"),
+                    F.lit(0).cast("long").alias("w"),
+                )
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<section:string,key:string,n:bigint,w:bigint>>")),
+        F.transform(
+            F.filter("ms", lambda m: m["kind"] == F.lit("entity")),
+            lambda m: F.struct(
+                F.lit("mentions").alias("section"), m["surface"].alias("key"),
+                F.lit(1).cast("long").alias("n"), F.lit(0).cast("long").alias("w"),
+            ),
+        ),
+        F.transform(
+            F.filter("dst_hosts", lambda h: h.isNotNull() & (h != F.lit(""))),
+            lambda h: F.struct(
+                F.lit("hosts").alias("section"), h.alias("key"),
+                F.lit(1).cast("long").alias("n"), F.lit(0).cast("long").alias("w"),
+            ),
+        ),
+    )
+    return (
+        per.select(F.explode(contrib).alias("c"))
+        .groupBy(F.col("c.section").alias("section"), F.col("c.key").alias("key"))
+        .agg(F.sum("c.n").alias("n"), F.sum("c.w").alias("w"))
+    )
+
+
 # the resolved-link relation both engines aggregate; the oracle builds
 # the identical html string and re-runs regex extraction + resolution
 _SQL_LG_RESOLVED = """
@@ -1627,7 +1723,7 @@ def kg_hearst(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.operators import graph as G
 
     ext = extract_pages(pages_with_taxonomy(spark, sf_dir), langs=("en",))
-    return G.hearst_pairs(ext).orderBy("subj", "obj")
+    return G.hearst_pairs(ext)
 
 
 _SQL_TAX_LISTS = (
@@ -1735,7 +1831,6 @@ def kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("removed"))
             .alias("status"),
         )
-        .orderBy("subj", "pred", "obj")
     )
 
 
@@ -1837,7 +1932,6 @@ def kg_dictdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surface", "old_id", "new_id", "change",
             F.coalesce("n_pages", F.lit(0)).alias("n_pages"),
         )
-        .orderBy("surface")
     )
 
 
@@ -1923,7 +2017,6 @@ def kg_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("n_hosts") + F.lit(1))
             ),
         )
-        .orderBy("subj", "pred", "obj")
     )
 
 
@@ -2144,7 +2237,7 @@ def kg_negsamples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("collides"),
         )
     )
-    return out.orderBy("subj", "pred", "obj", "j")
+    return out
 
 
 _SQL_MD5_FOLD12 = (
@@ -2266,6 +2359,10 @@ QUERIES = {
     "kg_conf": kg_conf,
     "kg_negsamples": kg_negsamples,
     "kg_meta": kg_meta,
+    # bench/pytest surface only (driver registry stays at 50 names):
+    # the one-pass fused ingest demo, parity-asserted against the
+    # separate paths in tests/test_pipeline_golden.py
+    "kg_fused": kg_fused,
 }
 
 ORACLES = {
@@ -2354,5 +2451,5 @@ DRIVER_QUERIES = {
     for k, v in QUERIES.items()
     if k not in ("kg_harvest", "kg_dictstats", "kg_report", "kg_hearst",
                  "kg_diff", "kg_dictdiff", "kg_conf", "kg_negsamples",
-                 "kg_typed")
+                 "kg_typed", "kg_fused")
 }

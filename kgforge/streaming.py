@@ -62,9 +62,7 @@ def _windowed_agg(events: DataFrame) -> DataFrame:
 def st_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-first tumbling window aggregation (oracle-checkable; the
     stream parity test runs the same plan through readStream)."""
-    return _windowed_agg(read_table(spark, "events", sf_dir)).orderBy(
-        "window_start", "event_type"
-    )
+    return _windowed_agg(read_table(spark, "events", sf_dir))
 
 
 ORACLE_ST_TUMBLING_AGG = """
@@ -103,7 +101,6 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("session_id") + 1).cast("long").alias("n_sessions"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -272,12 +269,7 @@ def run_stream_kg_parity(
     from kgforge.sources import PAGES_SCHEMA
 
     dic = O.propagate_hierarchy(O.clean_dictionary(dict_df))
-    aliases = sorted(
-        {
-            r["alias"]
-            for r in O.linker_dictionary(dic).select("alias").distinct().collect()
-        }
-    )
+    aliases = sorted(O.collect_aliases(O.linker_dictionary(dic)))
 
     def stages(pages: DataFrame) -> DataFrame:
         cand = link_mentions(

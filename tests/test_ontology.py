@@ -73,3 +73,51 @@ def test_synth_dictionary_roundtrip(spark, fixture_dir):
     # one row per alias after preference dedup
     aliases = [r["alias"] for r in rows]
     assert len(aliases) == len(set(aliases))
+
+
+def test_alias_budget_guard_blocks_oversized_dictionary(spark):
+    """r4 VERDICT item 6: the driver-side alias fetch is budget-guarded.
+    An alias set larger than the (explicit) budget raises — hard error,
+    never a silent truncation — and the probe stops fetching at
+    budget+1 rows instead of collecting the whole frame."""
+    import pytest
+
+    from kgforge.ontology import (
+        DictionaryBudgetError,
+        alias_budget,
+        collect_aliases,
+    )
+
+    big = spark.range(0, 500, 1, numPartitions=4).select(
+        F.concat(F.lit("alias_"), F.col("id").cast("string")).alias("alias")
+    )
+    with pytest.raises(DictionaryBudgetError) as ei:
+        collect_aliases(big, budget=100)
+    assert "101" in str(ei.value)  # probe stopped at budget+1, not 500
+    # within budget: full distinct list comes back
+    got = collect_aliases(big, budget=1000)
+    assert len(got) == 500
+    # derived budget mirrors local_cc_threshold: positive, clamped
+    b = alias_budget(spark)
+    assert 500_000 <= b <= 50_000_000
+
+
+def test_propagate_local_guard(spark):
+    """Direct _propagate_local callers hit the same guard instead of an
+    unguarded full collect."""
+    import pytest
+
+    import kgforge.ontology as O
+
+    big = spark.range(0, O.LOCAL_DICT_THRESHOLD + 10, 1, numPartitions=8).select(
+        F.concat(F.lit("\\KG\\X\\"), F.col("id").cast("string")).alias("concept_path"),
+        F.col("id").cast("string").alias("alias"),
+        F.lit(None).cast("string").alias("canonical_id"),
+        F.lit("isA").alias("pred"),
+        F.array().cast("array<string>").alias("dim_codes"),
+        F.lit(True).alias("is_leaf"),
+        F.lit(2).alias("hlevel"),
+        F.lit("\\KG\\X").alias("parent_path"),
+    )
+    with pytest.raises(O.DictionaryBudgetError):
+        O._propagate_local(big)

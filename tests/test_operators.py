@@ -662,10 +662,11 @@ def test_compound_bundles_cover_specs(spark, sf001):
     for name, (fn, cells) in R._COMPOUNDS.items():
         df = fn(spark, sf001)
         assert df.columns == ["section", "rk", "ck", "v_str", "v_num"], name
-        got = {
-            (r["section"], r["ck"])
-            for r in df.select("section", "ck").distinct().collect()
+        all_pairs = {
+            (r["section"], r["ck"], r["rk"] == "_subhash")
+            for r in df.select("section", "ck", "rk").distinct().collect()
         }
+        got = {(s, c) for s, c, is_sub in all_pairs if not is_sub}
         want = {
             (sec, cname)
             for sec, (_flt, _keys, cs) in cells.items()
@@ -677,6 +678,58 @@ def test_compound_bundles_cover_specs(spark, sf001):
         missing = want - got
         assert not missing, f"{name} dropped cells: {missing}"
         assert got <= want, f"{name} emitted unspecified cells: {got - want}"
+        # r5: every section additionally carries exactly one localizing
+        # subhash row (r4 VERDICT item 5)
+        sub_secs = {s for s, c, is_sub in all_pairs if is_sub}
+        want_secs = set(cells)
+        assert sub_secs == want_secs, (
+            f"{name} subhash sections mismatch: {sub_secs ^ want_secs}"
+        )
+
+
+def test_section_subhash_matches_oracle_and_localizes(spark, sf001):
+    """The per-section subhash row is engine-portable (Spark == DuckDB
+    on the same melted frame) and actually localizes: perturbing one
+    cell changes ONLY that section's subhash."""
+    import duckdb
+
+    from kgforge.operators.relational import (
+        _section_subhash,
+        _section_subhash_sql,
+    )
+
+    rows = [
+        ("s1", "1", "c", "v", None),
+        ("s1", "2", "c", None, 0.1),
+        ("s2", "1", "c", None, 123456789.000000123),
+        ("s2", "2", "c", "x", float("nan")),
+    ]
+    schema = "section string, rk string, ck string, v_str string, v_num double"
+    sp = {
+        r["section"]: r["v_str"]
+        for r in _section_subhash(spark.createDataFrame(rows, schema)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE m(section VARCHAR, rk VARCHAR, ck VARCHAR,"
+        " v_str VARCHAR, v_num DOUBLE)"
+    )
+    con.executemany("INSERT INTO m VALUES (?,?,?,?,?)", rows)
+    du = dict(
+        con.execute(
+            "SELECT section, v_str FROM ("
+            + _section_subhash_sql("SELECT * FROM m")
+            + ")"
+        ).fetchall()
+    )
+    assert sp == du and set(sp) == {"s1", "s2"}
+    # localization: flip one s1 cell -> s1 subhash moves, s2 unchanged
+    rows2 = [("s1", "1", "c", "V", None)] + rows[1:]
+    sp2 = {
+        r["section"]: r["v_str"]
+        for r in _section_subhash(spark.createDataFrame(rows2, schema)).collect()
+    }
+    assert sp2["s2"] == sp["s2"] and sp2["s1"] != sp["s1"]
 
 
 # ---- passage dedup / URL canonicalization / repetition / association ----
@@ -2548,3 +2601,69 @@ def test_stream_robots_parity(spark, tmp_path):
     assert all(decisions[i] == "blocked" for i in range(5))
     assert all(decisions[10 + i] == "fetch" for i in range(5))
     assert all(decisions[20 + i] == "fetch" for i in range(5))
+
+
+def test_rolling_gram_hashes_equal_direct_formula(spark):
+    """The zip_with-doubled rolling gram hash equals the direct
+    per-position definition gh[i] = XOR_j rotl64(wh[i+j], j*R) for every
+    tested L (1, power-of-two, and mixed decompositions), including the
+    n == L edge."""
+    from kgforge.operators.dedup import _GRAM_ROT, _rolling_gram_hashes, _rot64
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "x y z q r s"), (3, "p q p q p q p")],
+        "doc_id long, text string",
+    ).select("doc_id", F.split("text", " ").alias("ws"))
+    for L in (1, 2, 3, 4, 6, 7):
+        wh = F.transform("ws", lambda w: F.xxhash64(w))
+        n = F.size("ws")
+        rolled = _rolling_gram_hashes(wh, n, L)
+        def make_direct(L):
+            # pyspark derives lambda arity from the FULL parameter list
+            # (defaults included), so bind L via closure, not default arg
+            def direct_at(i):
+                acc = None
+                for j in range(L):
+                    term = _rot64(
+                        F.xxhash64(F.element_at("ws", i + j + 1)), j * _GRAM_ROT
+                    )
+                    acc = term if acc is None else acc.bitwiseXOR(term)
+                return acc
+            return direct_at
+        direct = F.transform(F.sequence(F.lit(0), n - L), make_direct(L))
+        got = (
+            docs.filter(F.size("ws") >= L)
+            .select("doc_id", rolled.alias("r"), direct.alias("d"))
+            .collect()
+        )
+        assert got, L
+        for r in got:
+            assert list(r["r"]) == list(r["d"]), (L, r["doc_id"])
+
+
+def test_substr_dedup_finds_planted_spans(spark):
+    """Semantics guard for the r5 gram-hash rewrite: two docs sharing a
+    6-word span get exactly that span covered; a unique doc stays
+    untouched (clean_md5 == md5 of its own text)."""
+    import hashlib
+
+    from kgforge.operators.dedup import substr_dedup
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 tail2 tail3"),
+            (2, f"head1 head2 {shared} endx"),
+            (3, "totally unique words here nothing repeats at all ok"),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.split("text", " ").alias("ws"))
+    got = {r["doc_id"]: r.asDict() for r in substr_dedup(docs).collect()}
+    assert got[1]["n_dup_grams"] == 1 and got[1]["n_covered"] == 6
+    assert got[1]["n_spans"] == 1
+    assert got[2]["n_covered"] == 6 and got[2]["n_spans"] == 1
+    assert got[3]["n_dup_grams"] == 0 and got[3]["n_covered"] == 0
+    kept3 = "totally unique words here nothing repeats at all ok"
+    assert got[3]["clean_md5"] == hashlib.md5(kept3.encode()).hexdigest()
+    kept1 = "tail1 tail2 tail3"
+    assert got[1]["clean_md5"] == hashlib.md5(kept1.encode()).hexdigest()
