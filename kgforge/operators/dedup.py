@@ -1263,15 +1263,33 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
             )
         )
     )
-    dp = dp.select("doc_id", "ws", F.size("dpos").alias("n_dup_grams"), covered.alias("cov"))
+    # clean-doc fast path (r5): in a deduplicated corpus MOST documents
+    # have zero duplicated grams, yet the r4 plan made every row pay the
+    # full span machinery — materialize covered, build sequence(0,n-1),
+    # hash-set array_except, gather kept words — only to reconstruct the
+    # original text. CASE WHEN branches are codegen if/else (evaluated
+    # per row, branch-local), so gating the whole chain on n_dup_grams
+    # drops the wide-array DRAM traffic to the dup minority; clean rows
+    # pay exactly the mandatory md5(array_join(ws)) output cost.
+    dp = dp.select(
+        "doc_id", "ws", F.size("dpos").alias("n_dup_grams"),
+        F.when(F.size("dpos") > 0, covered)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("cov"),
+    )
     n_words = F.size("ws")
     n_cov = F.size("cov")
-    n_spans = F.size(
-        F.array_except("cov", F.transform("cov", lambda c: c + 1))
-    )
+    has_dup = F.col("n_dup_grams") > 0
+    n_spans = F.when(
+        has_dup,
+        F.size(F.array_except("cov", F.transform("cov", lambda c: c + 1))),
+    ).otherwise(F.lit(0))
     kept = F.transform(
         F.array_except(F.sequence(F.lit(0), n_words - 1), F.col("cov")),
         lambda i: F.element_at("ws", i + 1),
+    )
+    clean_text = F.when(has_dup, F.array_join(kept, " ")).otherwise(
+        F.array_join("ws", " ")
     )
     return dp.select(
         "doc_id",
@@ -1281,7 +1299,7 @@ def substr_dedup(docs: DataFrame, L: int = DD_SUB_L) -> DataFrame:
         n_cov.cast("long").alias("n_covered"),
         n_spans.cast("long").alias("n_spans"),
         F.round(n_cov.cast("double") / n_words.cast("double"), 9).alias("dup_frac"),
-        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+        F.md5(clean_text).alias("clean_md5"),
     )
 
 
