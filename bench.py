@@ -34,7 +34,10 @@ LOAD_AT_START = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else N
 # ("quiet_window": false) so a reader weights it correctly.
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
 LOAD_RESUME = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RESUME", "0.5"))
-WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "900"))
+# bounded at 5 min: a 1-min load average decays e-fold per minute once the
+# box is actually idle (4.6 -> <1 in ~3-4 min), and an unknown driver-side
+# timeout must never kill the round artifact because bench was napping
+WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "300"))
 
 
 def _wait_for_quiet() -> float:
