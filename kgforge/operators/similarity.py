@@ -74,20 +74,77 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: query vectors (vec_id % 50 == 0) against the
     full collection. Rank by (cos rounded 9dp DESC, vec_id ASC) — the
     deterministic tiebreak keeps the result stable across engines and
-    partition layouts."""
+    partition layouts.
+
+    Shape (r06): the old plan was a BroadcastNestedLoopJoin of |Q| x N
+    pairs, each paying THREE interpreted higher-order array folds (dot
+    + both norms re-derived per pair) — 172s at sf1.0, quadratic in
+    interpreted JVM work. Now the query batch is collected driver-side
+    (metadata-scale by definition of a query batch — the same contract
+    as pq_topk's LUT build) and the collection is scanned once with
+    mapInPandas: one numpy matmul scores a whole Arrow batch against
+    every query, and each batch emits only its top-k candidates per
+    query. The per-batch cut keeps cos UNROUNDED and a 2e-9 safety
+    margin below the k-th best, so the final JVM F.round(...,9) +
+    row_number window — unchanged from the old plan — sees every row
+    that could make the global rounded top-k: x > y + 2e-9 implies
+    round(x) > round(y), hence a row cut by the margin loses to >= k
+    rows under the rounded ordering too, regardless of tiebreaks. The
+    scan shuffles nothing but the per-batch winners (~|Q| * k rows per
+    partition); the collection is never joined or broadcast."""
     e = read_table(spark, "embeddings", sf_dir)
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    qrows = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
-    scored = (
-        q.crossJoin(cand)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(_norm_dot(F.col("qv"), F.col("cv")), 9).alias("cos"),
-        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    if len(Q):
+        nq = np.sqrt((Q * Q).sum(axis=1))
+
+    scan_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+    top_k = TOP_K
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(Q):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nc = np.sqrt((X * X).sum(axis=1))
+            cos = (Q @ X.T) / (nq[:, None] * nc[None, :])
+            not_self = ids[None, :] != qids[:, None]
+            sel = np.where(not_self & ~np.isnan(cos), cos, -np.inf)
+            t = min(top_k, sel.shape[1])
+            kth = np.partition(sel, sel.shape[1] - t, axis=1)[:, sel.shape[1] - t]
+            mask = not_self & ((sel >= (kth[:, None] - 2e-9)) | np.isnan(cos))
+            qi, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "cand_id": ids[ci],
+                    "cos_raw": cos[qi, ci],
+                }
+            )
+
+    # the local fixture is one parquet split; hash-repartition by id so
+    # the matmul scan uses every core (a 100-TB table arrives as
+    # thousands of splits and skips this)
+    part = (
+        e.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+        .mapInPandas(scan, scan_schema)
+    )
+    scored = part.filter(F.col("query_id") != F.col("cand_id")).select(
+        "query_id", "cand_id", F.round(F.col("cos_raw"), 9).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (

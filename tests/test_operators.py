@@ -2667,3 +2667,40 @@ def test_substr_dedup_finds_planted_spans(spark):
     assert got[3]["clean_md5"] == hashlib.md5(kept3.encode()).hexdigest()
     kept1 = "tail1 tail2 tail3"
     assert got[1]["clean_md5"] == hashlib.md5(kept1.encode()).hexdigest()
+
+
+def test_bruteforce_topk_matches_jvm_fold_reference(spark, sf01):
+    """r06: sim_topk_bruteforce's numpy matmul scan (driver-collected
+    query batch + per-batch margin cut) must reproduce the old
+    crossJoin + JVM-array-fold plan cell for cell — the 9dp rounding
+    absorbs the summation-order difference, and the 2e-9 margin
+    guarantees no candidate that could make the rounded top-k is cut
+    batch-side."""
+    from pyspark.sql.window import Window
+
+    from kgforge.operators.similarity import TOP_K, _norm_dot, sim_topk_bruteforce
+    from kgforge.sources import read_table
+
+    e = read_table(spark, "embeddings", sf01)
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_norm_dot(F.col("qv"), F.col("cv")), 9).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    ref = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "cand_id", "cos")
+    )
+    got = sorted(map(tuple, sim_topk_bruteforce(spark, sf01).collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want
