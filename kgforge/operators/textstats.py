@@ -1107,13 +1107,17 @@ def bm25(docs: DataFrame) -> DataFrame:
 
     100-TB shape: no corpus-sized shuffle anywhere — the query set and
     its per-term document frequencies are metadata-sized (df only ever
-    computed for query terms: the exploded corpus is semi-joined to the
-    broadcast term list before its tiny groupBy), df rides along as a
-    one-row broadcast map exactly like tx_dsir's model, candidate
-    generation is a broadcast arrays_overlap join (production would
-    swap in an inverted-index semi-join, same shape), and scoring is
-    whole-stage codegen per (doc, query) pair. The final top-k window
-    partitions by query_id — never a global window."""
+    computed for query terms), df rides along as a one-row broadcast
+    map exactly like tx_dsir's model, candidate generation is an
+    inverted-index semi-join (r06: the exploded corpus joined to the
+    broadcast term list — the shape the old arrays_overlap
+    broadcast-nested-loop join only emulated while paying |docs| x |Q|
+    predicate evaluations, 84s at sf1.0), per-(doc, term) frequencies
+    come from the same single explode pass, and scoring folds the
+    query's term array in fixed order against a per-doc tf map so
+    scores are bit-identical to the old per-pair word-array scans. The
+    final top-k window partitions by query_id — never a global
+    window."""
     words_col = F.split("text", " ")
     d = docs.select(
         "doc_id", words_col.alias("words"), F.size(words_col).alias("dl")
@@ -1127,12 +1131,24 @@ def bm25(docs: DataFrame) -> DataFrame:
         F.sum("dl").cast("long").alias("tot_dl"),
     )
     terms = q.select(F.explode("terms").alias("t")).distinct()
-    dfc = (
-        d.select(F.explode(F.array_distinct("words")).alias("t"))
-        .join(F.broadcast(terms), "t")
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # the local fixture is ONE parquet split; hash-repartition so the
+    # explode/count pass uses every core (a 100-TB table arrives as
+    # thousands of splits and skips this). The count is pinned (not
+    # left to AQE) because the partitions are byte-light but
+    # compute-heavy.
+    dp = d.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
     )
+    # ONE explode pass over the corpus, restricted to query terms by the
+    # broadcast join, yields both the per-(doc, term) frequencies and —
+    # by counting docs per term — the document frequencies.
+    tfc = (
+        dp.select("doc_id", "dl", F.explode("words").alias("t"))
+        .join(F.broadcast(terms), "t")
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    ).localCheckpoint(eager=False)
+    dfc = tfc.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
     dfmap = dfc.agg(
         F.map_from_entries(F.collect_list(F.struct("t", "df"))).alias("dm")
     )
@@ -1150,30 +1166,36 @@ def bm25(docs: DataFrame) -> DataFrame:
             ),
         ).alias("dfs"),
     )
-    # the local fixture is ONE parquet split, and broadcast joins keep
-    # the probe side's partitioning — so without this the interpreted
-    # higher-order scoring fold runs on a single core (measured 8s vs
-    # ~1s at sf0.1). A 100-TB table arrives as thousands of splits; the
-    # hash repartition on doc_id stands in for that and shuffles only
-    # the small candidate corpus, never growing with the query count.
-    # the count is pinned (not left to AQE) because the partitions are
-    # byte-light but compute-heavy: AQE's size-based coalescing folds
-    # them back to 2 and serializes the scoring again
-    dp = d.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    # inverted-index candidate generation: a (doc, query) pair is a
+    # candidate iff the doc contains >= 1 query term — exactly the old
+    # arrays_overlap predicate, derived from the index instead of
+    # evaluated per pair
+    qt = q.select("query_id", F.explode("terms").alias("t")).distinct()
+    cand = (
+        tfc.select("doc_id", "t")
+        .join(F.broadcast(qt), "t")
+        .select("doc_id", "query_id")
+        .distinct()
+    )
+    # per-doc tf map over its query-relevant terms (bounded by the
+    # doc's distinct query-term hits, not the dictionary)
+    doc_tf = tfc.groupBy("doc_id", "dl").agg(
+        F.map_from_entries(F.collect_list(F.struct("t", "tf"))).alias("tfm")
     )
     pairs = (
-        dp.join(F.broadcast(q_df), F.arrays_overlap("words", "terms"))
+        cand.join(doc_tf, "doc_id")
+        .join(F.broadcast(q_df), "query_id")
         .crossJoin(F.broadcast(stats))
     )
     avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
-    # term frequencies materialize once per pair (zip_with lambda vars
-    # evaluate once even when the formula uses them twice)
+    # term frequencies looked up once per pair from the doc's tf map —
+    # identical integers to the old size(filter(words, w == t)) scan,
+    # so every downstream float op sees the same operands
     tfs = F.transform(
         "terms",
-        lambda t: F.size(F.filter(F.col("words"), lambda w: w == t)).cast(
-            "double"
-        ),
+        lambda t: F.coalesce(
+            F.try_element_at(F.col("tfm"), t), F.lit(0).cast("long")
+        ).cast("double"),
     )
 
     def contrib(tf, dfv):

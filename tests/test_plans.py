@@ -319,10 +319,12 @@ def test_semdedup_is_cell_blocked_no_cartesian(spark, sf001):
 
 def test_bm25_no_corpus_shuffle_broadcast_candidates(spark, sf001):
     """BM25's corpus side must never hit a sort-merge join or cartesian:
-    the query set, df map, and corpus stats ride in as broadcasts (the
-    arrays_overlap candidate join is a broadcast nested loop against the
-    metadata-sized query list), df aggregation only ever groups the
-    semi-joined query terms, and scoring stays JVM-side."""
+    the query set, df map, term list and corpus stats ride in as
+    broadcasts (r06: candidates come from an inverted-index equi-join of
+    the exploded corpus against the broadcast term list; the only
+    broadcast nested loop left is the 1-row stats crossJoin), df
+    aggregation only ever groups the semi-joined query terms, and
+    scoring stays JVM-side."""
     from kgforge.operators.textstats import tx_bm25
 
     plan = plan_of(tx_bm25(spark, sf001))
