@@ -332,24 +332,56 @@ def _neardup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.95, a < b):
     hyperplane-LSH banded blocking turns all-pairs into equi-joins on
-    32-bit band keys (8-byte shuffle rows), then exact cosine verifies
-    within blocks — MinHash-LSH's propose/verify discipline applied to
-    vectors. No CartesianProduct anywhere in the plan."""
-    vecs = _neardup_vectors(spark, sf_dir).cache()  # scanned by sig + both verify sides
+    32-bit band keys, then exact cosine verifies within blocks —
+    MinHash-LSH's propose/verify discipline applied to vectors. No
+    CartesianProduct anywhere in the plan.
+
+    Shape (r06): on uniform vectors the band buckets propose ~N^2/512
+    random pairs per band (13M at sf1.0), and the old plan shuffled
+    every one of them through a distinct and two vector-attach joins,
+    then paid an interpreted array fold per pair — 73s at sf1.0. Now
+    each band bucket is scored IN PLACE: one numpy matmul per bucket
+    (applyInPandas over the band key) emits only pairs whose in-bucket
+    cosine clears the threshold minus a 1e-6 margin, so the candidate
+    stream that leaves the bucket stage is metadata-sized (~planted
+    clones + margin hits, not N^2/512). The surviving pairs are then
+    verified by the UNCHANGED exact JVM formula (zip_with dot over
+    once-computed norms, rounded 9dp) — in-bucket numpy cos differs
+    from the JVM fold by ~1e-13 << the margin, so no true pair can be
+    cut and the emitted rows are bit-identical to the old plan's.
+    Vectors move once per band as part of the bucket shuffle; no
+    per-pair vector attach ever happens for non-candidates."""
+    vecs = _neardup_vectors(spark, sf_dir).cache()  # banded stage + verify join
     band_keys = make_band_key_udf()
-    # materialize the banded signatures ONCE: the self-join below has two
-    # branches, and without a checkpoint each branch re-runs the
-    # hyperplane UDF over the full collection (same discipline as
-    # canon.canonicalize's signature checkpoint)
-    sig = vecs.select("vec_id", F.explode(band_keys("v")).alias("bk")).localCheckpoint(
-        eager=True
+    banded = vecs.select(
+        "vec_id", "v", F.explode(band_keys("v")).alias("bk")
     )
-    a = sig.select(F.col("vec_id").alias("a"), "bk")
-    b = sig.select(F.col("vec_id").alias("b"), "bk")
+
+    cand_schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    thr = NEARDUP_T - 1e-6
+
+    def bucket_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        C = (V / nrm[:, None]) @ (V / nrm[:, None]).T
+        iu, ju = np.triu_indices(n, k=1)
+        c = C[iu, ju]
+        m = (c >= thr) | np.isnan(c)
+        pa, pb = ids[iu[m]], ids[ju[m]]
+        return pd.DataFrame(
+            {"a": np.minimum(pa, pb), "b": np.maximum(pa, pb)}
+        )
+
     pairs = (
-        a.join(b, "bk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        banded.groupBy("bk")
+        .applyInPandas(bucket_candidates, cand_schema)
         .distinct()
     )
     # norms computed ONCE per vector, not per pair — verification then
