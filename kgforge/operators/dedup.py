@@ -157,9 +157,18 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, "documents", sf_dir)
         .select(F.col("doc_id").alias("url"), "text")
     )
-    sigs = C.minhash_signatures(docs, "text", "url", n_perms=MINHASH_PERMS)
+    # canonicalize's signature discipline (r06): checkpoint the sigs so
+    # the block table's two consumers (the size aggregation and the
+    # restricted self-join) never re-run the minhash UDF, and spread
+    # the one-split local fixture across cores first (a 100-TB table
+    # arrives as thousands of splits and skips the repartition)
+    dp = docs.repartition(spark.sparkContext.defaultParallelism, "url")
+    sigs = C.minhash_signatures(dp, "text", "url", n_perms=MINHASH_PERMS).localCheckpoint(
+        eager=True
+    )
     blocks = C.lsh_blocks(sigs, n_bands=LSH_BANDS, id_col="url")
     pairs, _metrics = C.candidate_pairs(blocks, id_col="url", max_block=MAX_LSH_BLOCK)
+    pairs = pairs.localCheckpoint(eager=True)
     verified = C.verify_pairs_jaccard(pairs, docs, JACCARD_T, "url", "text")
     return (
         verified.select(
@@ -244,8 +253,20 @@ def simhash_pairs(
     quadratic, so chunks bigger than max_chunk are DROPPED and COUNTED
     (same no-silent-caps discipline as canon.candidate_pairs,
     SURVEY.md §7.5). The keep-key set is bounded by construction
-    (<= 4 * 65536 rows), so the restriction join broadcasts."""
-    sh = simhash_signatures(docs)
+    (<= 4 * 65536 rows), so the restriction join broadcasts.
+
+    The signature frame is materialized ONCE (r06): the plan below
+    reads it from three branches (chunk sizes, and both sides of the
+    block self-join), and without a checkpoint each branch re-ran the
+    Arrow simhash UDF over the full corpus — 3x the signature cost,
+    measured 19s vs 6s at sf1.0. The repartition spreads the one-split
+    local fixture across cores (a 100-TB table arrives as thousands of
+    splits and skips this); signature rows are 16 bytes."""
+    sh = simhash_signatures(
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+    ).localCheckpoint(eager=True)
     # band on 4x16-bit chunks: near-dups agree on >=1 chunk w.h.p.
     bands = sh.select(
         "doc_id",
@@ -1398,9 +1419,14 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, "documents", sf_dir)
         .select(F.col("doc_id").alias("url"), "text")
     )
-    sigs = C.minhash_signatures(docs, "text", "url", n_perms=MINHASH_PERMS)
+    # same signature/pair checkpoint discipline as dd_minhash_lsh (r06)
+    dp = docs.repartition(spark.sparkContext.defaultParallelism, "url")
+    sigs = C.minhash_signatures(dp, "text", "url", n_perms=MINHASH_PERMS).localCheckpoint(
+        eager=True
+    )
     blocks = C.lsh_blocks(sigs, n_bands=LSH_BANDS, id_col="url")
     pairs, _metrics = C.candidate_pairs(blocks, id_col="url", max_block=MAX_LSH_BLOCK)
+    pairs = pairs.localCheckpoint(eager=True)
     verified = C.verify_pairs_jaccard(pairs, docs, JACCARD_T, "url", "text")
     comp = C.connected_components(
         verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
