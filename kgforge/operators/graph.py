@@ -246,6 +246,24 @@ def cooccurrence_edges(
     division of exactly-representable integers, so the >= comparison
     is bit-identical across engines.
     """
+    pe, eligible, pairs, cnt = cooccurrence_support(
+        page_entities, max_entities_per_page
+    )
+    if min_jaccard <= 0.0:
+        return pairs.select("a", "b")
+    return edges_from_support(pairs, cnt, min_jaccard)
+
+
+def cooccurrence_support(
+    page_entities: DataFrame, max_entities_per_page: int = 64
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared base of the co-occurrence family (r06): (eligible pe,
+    eligible urls, per-pair support, per-entity page counts). kg_graph /
+    kg_khop / kg_centrality / kg_assoc all fan out of this one per-page
+    self-join, so the pipeline materializes `pairs` and `cnt` once per
+    session instead of re-running the corpus-sized distinct + self-join
+    per query (guide §2.4: two operations keyed the same way share one
+    exchange — here they share the whole subtree)."""
     pe = page_entities.select("url", "entity").distinct()
     eligible = (
         pe.groupBy("url")
@@ -262,9 +280,16 @@ def cooccurrence_edges(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    if min_jaccard <= 0.0:
-        return pairs.select("a", "b")
     cnt = pe.groupBy("entity").agg(F.count(F.lit(1)).alias("n_pages"))
+    return pe, eligible, pairs, cnt
+
+
+def edges_from_support(
+    pairs: DataFrame, cnt: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """support/count frames -> thresholded undirected edges (a, b). The
+    strength ratio is a single IEEE division of exactly-representable
+    integers, so the >= comparison is bit-identical across engines."""
     return (
         pairs.join(cnt.select(F.col("entity").alias("a"), F.col("n_pages").alias("na")), "a")
         .join(cnt.select(F.col("entity").alias("b"), F.col("n_pages").alias("nb")), "b")
@@ -290,24 +315,17 @@ def assoc_scores(
     engines — a log would differ in final ulps between libm and the
     JVM. Same eligibility cap discipline as cooccurrence_edges; N is
     the eligible-page count, carried as a 1-row broadcast."""
-    pe = page_entities.select("url", "entity").distinct()
-    eligible = (
-        pe.groupBy("url")
-        .agg(F.count(F.lit(1)).alias("n_ents"))
-        .filter(F.col("n_ents") <= max_entities_per_page)
-        .select("url")
+    pe, eligible, pairs, cnt = cooccurrence_support(
+        page_entities, max_entities_per_page
     )
-    pe = pe.join(eligible, "url", "left_semi")
     tot = eligible.agg(F.count(F.lit(1)).alias("n_total"))
-    cnt = pe.groupBy("entity").agg(F.count(F.lit(1)).alias("n_pages"))
-    a = pe.select("url", F.col("entity").alias("a"))
-    b = pe.select("url", F.col("entity").alias("b"))
-    pairs = (
-        a.join(b, "url")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
+    return assoc_from_support(pairs, cnt, tot)
+
+
+def assoc_from_support(
+    pairs: DataFrame, cnt: DataFrame, tot: DataFrame
+) -> DataFrame:
+    """support/count/total frames -> scored association edges."""
     return (
         pairs.join(
             cnt.select(F.col("entity").alias("a"), F.col("n_pages").alias("na")), "a"

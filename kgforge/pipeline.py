@@ -271,6 +271,39 @@ def _mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st["mapping"]
 
 
+def _cooc_base(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared co-occurrence base for the graph family (r06): kg_graph /
+    kg_assoc / kg_khop / kg_centrality all fan out of one per-page
+    entity self-join, which each query used to recompute from the
+    candidate stream (3-5s apiece at sf1.0). Materialize the support
+    pairs + per-entity counts once per (session, sf) — the same
+    stage-cache discipline as _candidates; the frames are edge-list
+    sized (KB..MB), not corpus sized. The thresholded edge set rides
+    along so the three edge consumers start from a tiny checkpointed
+    RDD instead of re-deriving the join."""
+    from kgforge.operators import graph as G
+
+    st = _kg_stages(spark, sf_dir)
+    if "cooc" not in st:
+        c = _candidates(spark, sf_dir)
+        pe = c.filter(F.col("kind") == "entity").select(
+            "url", F.col("canonical_id").alias("entity")
+        )
+        pe2, eligible, pairs, cnt = G.cooccurrence_support(pe)
+        pairs = pairs.localCheckpoint(eager=True)
+        cnt = cnt.localCheckpoint(eager=True)
+        edges = G.edges_from_support(
+            pairs, cnt, COOC_MIN_JACCARD
+        ).localCheckpoint(eager=True)
+        st["cooc"] = {
+            "eligible": eligible,
+            "pairs": pairs,
+            "cnt": cnt,
+            "edges": edges,
+        }
+    return st["cooc"]
+
+
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _kg_stages(spark, sf_dir)
     if "triples" not in st:
@@ -912,11 +945,7 @@ def kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes."""
     from kgforge.operators import graph as G
 
-    c = _candidates(spark, sf_dir)
-    pe = c.filter(F.col("kind") == "entity").select(
-        "url", F.col("canonical_id").alias("entity")
-    )
-    edges = G.cooccurrence_edges(pe, min_jaccard=COOC_MIN_JACCARD)
+    edges = _cooc_base(spark, sf_dir)["edges"]
     return (
         G.graph_stats(edges)
         .select(
@@ -986,11 +1015,9 @@ def kg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     kgforge/operators/graph.py (assoc_scores) for the at-scale shape."""
     from kgforge.operators import graph as G
 
-    c = _candidates(spark, sf_dir)
-    pe = c.filter(F.col("kind") == "entity").select(
-        "url", F.col("canonical_id").alias("entity")
-    )
-    return G.assoc_scores(pe)
+    base = _cooc_base(spark, sf_dir)
+    tot = base["eligible"].agg(F.count(F.lit(1)).alias("n_total"))
+    return G.assoc_from_support(base["pairs"], base["cnt"], tot)
 
 
 ORACLE_KG_ASSOC = f"""
@@ -1038,11 +1065,7 @@ def kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.operators import graph as G
     from kgforge.operators.textstats import global_topk
 
-    c = _candidates(spark, sf_dir)
-    pe = c.filter(F.col("kind") == "entity").select(
-        "url", F.col("canonical_id").alias("entity")
-    )
-    edges = G.cooccurrence_edges(pe, min_jaccard=COOC_MIN_JACCARD)
+    edges = _cooc_base(spark, sf_dir)["edges"]
     bidir = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -1113,11 +1136,7 @@ def kg_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics there; same family as kg_graph/kg_khop)."""
     from kgforge.operators import graph as G
 
-    c = _candidates(spark, sf_dir)
-    pe = c.filter(F.col("kind") == "entity").select(
-        "url", F.col("canonical_id").alias("entity")
-    )
-    edges = G.cooccurrence_edges(pe, min_jaccard=COOC_MIN_JACCARD)
+    edges = _cooc_base(spark, sf_dir)["edges"]
     bidir = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
