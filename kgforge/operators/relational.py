@@ -1464,7 +1464,12 @@ def _compound(spark: SparkSession, sf_dir: str, specs: list[tuple]) -> DataFrame
         df = fn(spark, sf_dir)
         if flt is not None:
             df = df.filter(flt)
-        part = _melt(df, section, key_cols, cells)
+        # materialize the melted section once (r06, ADVICE item): the
+        # subhash union arm otherwise re-executes the section's whole
+        # subtree — Spark has no CSE across union arms — roughly
+        # doubling compound-bundle compute. Lazy checkpoint: computed on
+        # first action, shared by both arms; melted rows are cell-sized.
+        part = _melt(df, section, key_cols, cells).localCheckpoint(eager=False)
         part = part.unionByName(_section_subhash(part))
         out = part if out is None else out.unionByName(part)
     return out

@@ -237,9 +237,16 @@ def _kg_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _kg_stages(spark, sf_dir)
     if "extracted" not in st:
-        st["extracted"] = extract_pages(
-            pages_from_documents(spark, sf_dir), langs=("en",)
-        ).cache()
+        # hash-repartition before the Arrow extraction UDF: the local
+        # documents fixture is 1-2 parquet splits, which would run the
+        # extraction AND every cached downstream Python stage (mention
+        # detection rides this frame) on 2 of 32 cores (r06: measured
+        # 9.3s -> 2.4s for the mention stage at sf1.0). A 100-TB table
+        # arrives as thousands of splits and skips this.
+        pages = pages_from_documents(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism, "url"
+        )
+        st["extracted"] = extract_pages(pages, langs=("en",)).cache()
     return st["extracted"]
 
 
@@ -417,7 +424,12 @@ def _measure_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared extract->detect->link over the measurement-bearing pages."""
     st = _kg_stages(spark, sf_dir)
     if "meas_candidates" not in st:
-        ext = extract_pages(pages_with_measurements(spark, sf_dir), langs=("en",))
+        # same scan fan-out as _extracted (the measurement pages are the
+        # same 1-2 split local fixture)
+        pages = pages_with_measurements(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism, "url"
+        )
+        ext = extract_pages(pages, langs=("en",))
         m = detect_mentions(ext, _linker_aliases(spark))
         st["meas_candidates"] = link_mentions(m, prepared_dictionary(spark)).cache()
     return st["meas_candidates"]
@@ -1267,9 +1279,21 @@ def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lg_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved link relation, materialized once per (session, sf)
+    (r06): four of the six linkgraph sections derive from this frame,
+    and each used to re-run the anchor regex extraction over the whole
+    HTML corpus. Checkpoint the (host, host, anchor)-sized result once;
+    no repartition — the regex map is cheap enough that shuffling the
+    html bytes first costs more than the extra cores buy (measured
+    1.9s vs 2.6s at sf1.0)."""
     from kgforge.operators import graph as G
 
-    return G.resolve_links(G.extract_hyperlinks(pages_with_links(spark, sf_dir)))
+    st = _kg_stages(spark, sf_dir)
+    if "lg_resolved" not in st:
+        st["lg_resolved"] = G.resolve_links(
+            G.extract_hyperlinks(pages_with_links(spark, sf_dir))
+        ).localCheckpoint(eager=True)
+    return st["lg_resolved"]
 
 
 def _lg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,7 +1469,12 @@ def kg_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.operators import graph as G
     from kgforge.operators.dedup import canonical_url_col
 
-    pages = pages_with_links(spark, sf_dir)
+    # fan the 1-2 split local fixture across cores before the fused
+    # per-page work (Arrow extraction + token mentions + link regexes);
+    # a 100-TB table arrives as thousands of splits and skips this
+    pages = pages_with_links(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "url"
+    )
     mudf = make_mention_udf(_linker_aliases(spark))
 
     html = F.decode(F.col("html"), "UTF-8")
