@@ -11,8 +11,11 @@ family (decontam's eval-gram match) is a broadcast semi-join.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kgforge.sources import read_table
 
@@ -1105,19 +1108,25 @@ def bm25(docs: DataFrame) -> DataFrame:
     fixed-order fold over the query's term array, and scores are
     rounded to 9dp BEFORE ranking with a doc_id tiebreak.
 
-    100-TB shape: no corpus-sized shuffle anywhere — the query set and
-    its per-term document frequencies are metadata-sized (df only ever
-    computed for query terms), df rides along as a one-row broadcast
-    map exactly like tx_dsir's model, candidate generation is an
-    inverted-index semi-join (r06: the exploded corpus joined to the
-    broadcast term list — the shape the old arrays_overlap
-    broadcast-nested-loop join only emulated while paying |docs| x |Q|
-    predicate evaluations, 84s at sf1.0), per-(doc, term) frequencies
-    come from the same single explode pass, and scoring folds the
-    query's term array in fixed order against a per-doc tf map so
-    scores are bit-identical to the old per-pair word-array scans. The
-    final top-k window partitions by query_id — never a global
-    window."""
+    100-TB shape: no corpus-sized shuffle anywhere — the query set, its
+    per-term document frequencies and the corpus stats are
+    metadata-sized and collected driver-side (a query batch is
+    metadata-scale by definition — the same contract as
+    sim_topk_bruteforce / pq_topk's LUT build); the corpus pays ONE
+    explode pass restricted to the broadcast term list, whose
+    per-(doc, term) counts are the only thing that moves; scoring runs
+    as one vectorized numpy pass over the per-doc tf vectors
+    (mapInPandas), written operand-for-operand in the same order as
+    the old per-pair JVM fold — every +,-,*,/ is IEEE-correctly
+    rounded in both, so the scores are bit-identical and the unchanged
+    final JVM round+window stage (top-k per query, never a global
+    window) emits the same rows. Each batch emits only its per-query
+    top-k with a 2e-9 margin below the k-th best (x > y + 2e-9 implies
+    round(x) > round(y), so no row that could make the rounded global
+    top-k is cut batch-side). The old formulation paid |docs| x |Q|
+    arrays_overlap evaluations and then 25M interpreted
+    higher-order-fold evaluations — 84s at sf1.0 and JIT-warmup
+    sensitive (73s on a cold JVM)."""
     words_col = F.split("text", " ")
     d = docs.select(
         "doc_id", words_col.alias("words"), F.size(words_col).alias("dl")
@@ -1126,98 +1135,108 @@ def bm25(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.slice("words", 1, BM25_QTERMS).alias("terms"),
     )
-    stats = d.agg(
+    qrows = q.orderBy("query_id").collect()
+    n_docs, tot_dl = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("tot_dl"),
-    )
-    terms = q.select(F.explode("terms").alias("t")).distinct()
+    ).collect()[0]
+    terms_sorted = sorted({t for r in qrows for t in r["terms"]})
+    n_terms = len(terms_sorted)
+    spark = docs.sparkSession
     # the local fixture is ONE parquet split; hash-repartition so the
     # explode/count pass uses every core (a 100-TB table arrives as
-    # thousands of splits and skips this). The count is pinned (not
-    # left to AQE) because the partitions are byte-light but
-    # compute-heavy.
-    dp = d.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    # thousands of splits and skips this)
+    dp = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    terms_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms_sorted)], "t string, tid int"
     )
     # ONE explode pass over the corpus, restricted to query terms by the
     # broadcast join, yields both the per-(doc, term) frequencies and —
-    # by counting docs per term — the document frequencies.
+    # by counting docs per term — the document frequencies
     tfc = (
         dp.select("doc_id", "dl", F.explode("words").alias("t"))
-        .join(F.broadcast(terms), "t")
-        .groupBy("doc_id", "dl", "t")
+        .join(F.broadcast(terms_df), "t")
+        .groupBy("doc_id", "dl", "tid")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     ).localCheckpoint(eager=False)
-    dfc = tfc.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    dfmap = dfc.agg(
-        F.map_from_entries(F.collect_list(F.struct("t", "df"))).alias("dm")
+    dfs = np.zeros(n_terms + 1, dtype=np.int64)  # slot n_terms = pad (df 0)
+    for r in tfc.groupBy("tid").agg(F.count(F.lit(1)).alias("df")).collect():
+        dfs[r["tid"]] = r["df"]
+
+    tid_of = {t: i for i, t in enumerate(terms_sorted)}
+    n_q = len(qrows)
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    # pad every query to BM25_QTERMS with the phantom term (tf 0, df 0):
+    # its contribution is idf * (0 * (k1+1)) / denom = exactly 0.0, and
+    # s + 0.0 == s bit-for-bit, so padding never changes a score
+    qtid = np.full((n_q, BM25_QTERMS), n_terms, dtype=np.int64)
+    for i, r in enumerate(qrows):
+        for j, t in enumerate(r["terms"][:BM25_QTERMS]):
+            qtid[i, j] = tid_of[t]
+    # idf depends only on (N, df): precompute per (query, slot) with the
+    # identical operand order as the old JVM fold —
+    # (double(N - df) + 0.5) / (double(df) + 0.5)
+    qdf = dfs[qtid]  # (Q, T) int64
+    idf_mat = ((n_docs - qdf).astype(np.float64) + 0.5) / (
+        qdf.astype(np.float64) + 0.5
     )
-    # resolve each query term's df ONCE on the (tiny) query side — the
-    # per-pair hot loop must not pay a linear-scan map lookup per term
-    # (Spark maps are unsorted arrays; 8 string-key probes per candidate
-    # pair measured ~4x slower than carrying the df array along)
-    q_df = q.crossJoin(F.broadcast(dfmap)).select(
-        "query_id",
-        "terms",
-        F.transform(
-            "terms",
-            lambda t: F.coalesce(
-                F.try_element_at(F.col("dm"), t), F.lit(0).cast("long")
-            ),
-        ).alias("dfs"),
-    )
-    # inverted-index candidate generation: a (doc, query) pair is a
-    # candidate iff the doc contains >= 1 query term — exactly the old
-    # arrays_overlap predicate, derived from the index instead of
-    # evaluated per pair
-    qt = q.select("query_id", F.explode("terms").alias("t")).distinct()
-    cand = (
-        tfc.select("doc_id", "t")
-        .join(F.broadcast(qt), "t")
-        .select("doc_id", "query_id")
-        .distinct()
-    )
-    # per-doc tf map over its query-relevant terms (bounded by the
-    # doc's distinct query-term hits, not the dictionary)
+    avgdl = float(tot_dl) / float(n_docs)
+    k1, b, k1p1 = BM25_K1, BM25_B, BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    top_k = BM25_TOPK
+
     doc_tf = tfc.groupBy("doc_id", "dl").agg(
-        F.map_from_entries(F.collect_list(F.struct("t", "tf"))).alias("tfm")
+        F.collect_list(F.struct("tid", "tf")).alias("tfs")
     )
-    pairs = (
-        cand.join(doc_tf, "doc_id")
-        .join(F.broadcast(q_df), "query_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
-    # term frequencies looked up once per pair from the doc's tf map —
-    # identical integers to the old size(filter(words, w == t)) scan,
-    # so every downstream float op sees the same operands
-    tfs = F.transform(
-        "terms",
-        lambda t: F.coalesce(
-            F.try_element_at(F.col("tfm"), t), F.lit(0).cast("long")
-        ).cast("double"),
+    scan_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score_raw", T.DoubleType()),
+        ]
     )
 
-    def contrib(tf, dfv):
-        idf = ((F.col("n_docs") - dfv).cast("double") + 0.5) / (
-            dfv.cast("double") + 0.5
-        )
-        denom = tf + F.lit(BM25_K1) * (
-            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
-        )
-        return (idf * (tf * F.lit(BM25_K1 + 1.0))) / denom
+    def scan(batches):
+        for pdf in batches:
+            nb = len(pdf)
+            if not nb or not n_q:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dlv = pdf["dl"].to_numpy(dtype=np.float64)
+            tfmat = np.zeros((nb, n_terms + 1), dtype=np.float64)
+            for i, lst in enumerate(pdf["tfs"]):
+                for e in lst:
+                    tfmat[i, e["tid"]] = e["tf"]
+            # chunk rows so the (chunk, |Q|) temporaries stay small
+            for r0 in range(0, nb, 1024):
+                Tc = tfmat[r0 : r0 + 1024]
+                c = Tc.shape[0]
+                denb = k1 * (one_minus_b + b * (dlv[r0 : r0 + 1024] / avgdl))
+                s = np.zeros((c, n_q))
+                mask = np.zeros((c, n_q), dtype=bool)
+                for j in range(BM25_QTERMS):
+                    tfj = Tc[:, qtid[:, j]]  # (c, Q)
+                    denom = tfj + denb[:, None]
+                    s = s + (idf_mat[None, :, j] * (tfj * k1p1)) / denom
+                    mask |= tfj > 0.0
+                sel = np.where(mask, s, -np.inf)
+                t = min(top_k, c)
+                kth = np.partition(sel, c - t, axis=0)[c - t, :]
+                emit = mask & (sel >= (kth[None, :] - 2e-9))
+                ri, qi = np.nonzero(emit)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "doc_id": ids[r0 + ri],
+                        "score_raw": s[ri, qi],
+                    }
+                )
 
     from pyspark.sql.window import Window
 
-    score = F.round(
-        F.aggregate(
-            F.zip_with(tfs, F.col("dfs"), contrib),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        9,
+    scored = doc_tf.mapInPandas(scan, scan_schema).select(
+        "query_id", "doc_id", F.round("score_raw", 9).alias("score")
     )
-    scored = pairs.select("query_id", "doc_id", score.alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -319,18 +319,17 @@ def test_semdedup_is_cell_blocked_no_cartesian(spark, sf001):
 
 def test_bm25_no_corpus_shuffle_broadcast_candidates(spark, sf001):
     """BM25's corpus side must never hit a sort-merge join or cartesian:
-    the query set, df map, term list and corpus stats ride in as
-    broadcasts (r06: candidates come from an inverted-index equi-join of
-    the exploded corpus against the broadcast term list; the only
-    broadcast nested loop left is the 1-row stats crossJoin), df
-    aggregation only ever groups the semi-joined query terms, and
-    scoring stays JVM-side."""
+    the term list rides in as a broadcast onto the one restricted
+    explode pass, and scoring is a single vectorized MapInPandas over
+    the per-doc tf vectors (r06) — no per-pair join of any kind, no
+    row-at-a-time Python."""
     from kgforge.operators.textstats import tx_bm25
 
     plan = plan_of(tx_bm25(spark, sf001))
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_lmscore_and_dd_lines_model_rides_broadcast(spark, sf001):
