@@ -487,7 +487,11 @@ def passage_dedup(docs: DataFrame, chunk_words: int = PASSAGE_WORDS) -> DataFram
 
 
 def dd_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = (
+        read_table(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+    )
     return passage_dedup(docs)
 
 
@@ -1067,8 +1071,12 @@ def dd_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis is the same expression in both engines (the dd_url
     idiom), so boilerplate survivors exist at every sf and the check
     can never pass vacuously."""
-    d = read_table(spark, "documents", sf_dir).select(
-        "doc_id", "source", F.split("text", " ").alias("ws")
+    # fan the 1-split local fixture across cores before the line build
+    # (consumed by both the boiler-count branch and the removal pass)
+    d = (
+        read_table(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
     )
     n_chunks = F.ceil(F.size("ws") / F.lit(float(DD_LINES_WORDS))).cast("int")
     body = F.transform(
@@ -1331,19 +1339,27 @@ def dd_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     header, so cross-document duplicated spans exist at every sf and
     the check can never pass vacuously; the body contributes organic
     duplicated grams at larger sf)."""
-    d = read_table(spark, "documents", sf_dir).select(
-        "doc_id",
-        F.concat(
-            F.split(
-                F.concat(
-                    F.lit("shared preamble from "),
-                    F.col("source"),
-                    F.lit(" syndicated wire copy header today"),
+    # fan the 1-split local fixture across cores BEFORE the gram-hash
+    # pass — without this the rolling-hash stage (the op's dominant
+    # arithmetic) runs on one task (r06; a 100-TB table arrives as
+    # thousands of splits and skips this)
+    d = (
+        read_table(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.concat(
+                F.split(
+                    F.concat(
+                        F.lit("shared preamble from "),
+                        F.col("source"),
+                        F.lit(" syndicated wire copy header today"),
+                    ),
+                    " ",
                 ),
-                " ",
-            ),
-            F.split("text", " "),
-        ).alias("ws"),
+                F.split("text", " "),
+            ).alias("ws"),
+        )
     )
     return substr_dedup(d)
 

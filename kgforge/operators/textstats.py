@@ -25,6 +25,18 @@ FP_MOD = 1_000_000_007
 FP_BASE = 131
 
 
+
+def _docs_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents read spread across cores (r06): the local fixture is
+    ONE parquet row group, so every scan-heavy operator otherwise runs
+    its per-doc array work on a single task. Used by the compute-heavy
+    tx_ wrappers; the trivial ones keep the plain scan (the shuffle
+    would cost more than it buys). A 100-TB table arrives as thousands
+    of splits and skips this."""
+    return read_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
 def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: stopword-hit voting over whitespace tokens.
     A real deployment swaps the word lists for charset n-gram tables;
@@ -119,7 +131,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (h*131 + ascii(c)) mod 1e9+7 — deterministic, associative-free
     left fold via F.aggregate; engine-portable (the oracle reproduces it
     bit-for-bit with list_reduce)."""
-    d = read_table(spark, "documents", sf_dir)
+    d = _docs_fanout(spark, sf_dir)
     chars = F.split(F.col("text"), "")
     fp = F.aggregate(
         chars,
@@ -192,7 +204,7 @@ def decontam(docs: DataFrame, k: int = 13, eval_mod: int = 23) -> DataFrame:
 
 
 def tx_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, "documents", sf_dir)
+    d = _docs_fanout(spark, sf_dir)
     return decontam(d)
 
 
@@ -407,7 +419,7 @@ def redact(docs: DataFrame) -> DataFrame:
 
 
 def tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, "documents", sf_dir)
+    d = _docs_fanout(spark, sf_dir)
     return redact(d)
 
 
@@ -566,7 +578,7 @@ def tx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the k ranked rows only."""
     from pyspark.sql import Window
 
-    d = read_table(spark, "documents", sf_dir)
+    d = _docs_fanout(spark, sf_dir)
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     vocab = words.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
@@ -768,7 +780,7 @@ def bpe_train(vocab: DataFrame, n_merges: int = 30) -> tuple[list, DataFrame]:
 
 
 def tx_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return classify(read_table(spark, "documents", sf_dir))
+    return classify(_docs_fanout(spark, sf_dir))
 
 
 _WH_SQL = (
@@ -841,7 +853,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
 
 def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, "documents", sf_dir)
+    d = _docs_fanout(spark, sf_dir)
     return repetition_stats(d)
 
 
@@ -926,7 +938,7 @@ def winnow(docs: DataFrame, k: int = WIN_K, w: int = WIN_W) -> DataFrame:
 
 def tx_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        winnow(read_table(spark, "documents", sf_dir))
+        winnow(_docs_fanout(spark, sf_dir))
     )
 
 
@@ -1047,7 +1059,7 @@ def dsir(docs: DataFrame) -> DataFrame:
 
 
 def tx_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dsir(read_table(spark, "documents", sf_dir))
+    return dsir(_docs_fanout(spark, sf_dir))
 
 
 _WH_DSIR_SQL = (
@@ -1410,7 +1422,7 @@ def lmscore(docs: DataFrame) -> DataFrame:
 
 
 def tx_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lmscore(read_table(spark, "documents", sf_dir))
+    return lmscore(_docs_fanout(spark, sf_dir))
 
 
 def _lm_bucket_sql(e: str) -> str:
@@ -1513,7 +1525,7 @@ def diversity(docs: DataFrame) -> DataFrame:
 
 
 def tx_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return diversity(read_table(spark, "documents", sf_dir))
+    return diversity(_docs_fanout(spark, sf_dir))
 
 
 ORACLE_TX_DIVERSITY = f"""
@@ -1707,7 +1719,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
 
 
 def tx_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gopher_rules(read_table(spark, "documents", sf_dir))
+    return gopher_rules(_docs_fanout(spark, sf_dir))
 
 
 ORACLE_TX_GOPHER = f"""
@@ -1765,7 +1777,7 @@ FROM r ORDER BY doc_id
 
 
 def tx_c4filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return c4_filter(read_table(spark, "documents", sf_dir))
+    return c4_filter(_docs_fanout(spark, sf_dir))
 
 
 ORACLE_TX_C4FILTER = f"""
@@ -1886,7 +1898,7 @@ def pages_with_block_markup(d: DataFrame) -> DataFrame:
 
 def tx_mainext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main_content_blocks(
-        pages_with_block_markup(read_table(spark, "documents", sf_dir))
+        pages_with_block_markup(_docs_fanout(spark, sf_dir))
     )
 
 
@@ -2023,7 +2035,7 @@ def tx_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ' vector index' — 'pipeline' and 'index' are out-of-vocabulary, so
     two genuine collocations exist against the word-salad background
     and the phrase/chance verdict is never vacuous."""
-    return tx_colloc_from(read_table(spark, "documents", sf_dir))
+    return tx_colloc_from(_docs_fanout(spark, sf_dir))
 
 
 ORACLE_TX_COLLOC = f"""
@@ -2112,7 +2124,7 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
 
 def tx_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(
-        read_table(spark, "documents", sf_dir)
+        _docs_fanout(spark, sf_dir)
     ).orderBy("term")
 
 

@@ -311,6 +311,29 @@ def _cooc_base(spark: SparkSession, sf_dir: str) -> dict:
     return st["cooc"]
 
 
+def _pos_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct positive (subj, pred, obj) set over canonical subjects —
+    the shared base of kg_typed and kg_negsamples (r06): kg_negsamples
+    alone reads it from three plan branches (vocab, split hashing, the
+    collision join), so without materialization the candidates-mapping
+    join + distinct re-ran up to four times per pass."""
+    st = _kg_stages(spark, sf_dir)
+    if "pos_triples" not in st:
+        c = _candidates(spark, sf_dir)
+        m = _mapping(spark, sf_dir)
+        st["pos_triples"] = (
+            c.join(m, "url")
+            .select(
+                F.col("canon_url").alias("subj"),
+                "pred",
+                F.col("canonical_id").alias("obj"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return st["pos_triples"]
+
+
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _kg_stages(spark, sf_dir)
     if "triples" not in st:
@@ -2126,17 +2149,7 @@ def kg_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("pred", F.col("scheme").alias("expected_scheme"))
     )
-    c = _candidates(spark, sf_dir)
-    m = _mapping(spark, sf_dir)
-    pos = (
-        c.join(m, "url")
-        .select(
-            F.col("canon_url").alias("subj"),
-            "pred",
-            F.col("canonical_id").alias("obj"),
-        )
-        .distinct()
-    )
+    pos = _pos_triples(spark, sf_dir)
     agg = pos.groupBy(
         "pred", F.substring_index("obj", ":", 1).alias("obj_scheme")
     ).agg(
@@ -2226,17 +2239,7 @@ def kg_negsamples(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the corpus."""
     from pyspark.sql import Window
 
-    c = _candidates(spark, sf_dir)
-    m = _mapping(spark, sf_dir)
-    pos = (
-        c.join(m, "url")
-        .select(
-            F.col("canon_url").alias("subj"),
-            "pred",
-            F.col("canonical_id").alias("obj"),
-        )
-        .distinct()
-    )
+    pos = _pos_triples(spark, sf_dir)
     ents = pos.select("obj").distinct()
     # single-partition window is safe: the vocab is dictionary-sized
     vocab = ents.select(
