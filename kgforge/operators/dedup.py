@@ -1036,6 +1036,10 @@ def line_dedup(docs: DataFrame, t: int = DD_LINES_T) -> DataFrame:
     arrays. If the boiler set ever outgrew a broadcast, the same plan
     degrades to a hash-only shuffle semi-join — the text side still
     never moves."""
+    # materialize the lines frame once (r06): the boiler-count branch
+    # and the removal pass below both read it, and without a checkpoint
+    # each branch re-ran the caller's line synthesis over the corpus
+    docs = docs.localCheckpoint(eager=False)
     ex = docs.select(
         "doc_id", F.explode("lines").alias("line")
     ).select("doc_id", F.md5("line").alias("lhash"))

@@ -553,8 +553,15 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames per doc and emit each sampled frame's byte offset *as derived
     from the container's own sample tables* (stco base + idx * stsz) —
     the exact shape an ffmpeg-backed sampler emits. The explode stays
-    pure column arithmetic; only container parsing is Arrow-batched."""
-    d = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    pure column arithmetic; only container parsing is Arrow-batched.
+    The scan is hash-repartitioned first: the local fixture is one
+    parquet row group, which would run the synth+parse Python stages
+    on a single task (r06)."""
+    d = (
+        read_table(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+    )
     meta = mm_video_meta(mm_video_synth(d))
     f = meta.select(
         "doc_id",

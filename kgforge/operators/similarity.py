@@ -765,7 +765,11 @@ def pq_topk(
     books = train_pq_codebooks(e)
     m, ks, ds = books.shape
     encode = make_pq_encode_udf(books)
-    codes = e.select("vec_id", encode("embedding").alias("code"))
+    # fan the one-split local fixture across cores before the encode +
+    # ADC scan (r06; a 100-TB table arrives as thousands of splits)
+    codes = e.repartition(
+        e.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).select("vec_id", encode("embedding").alias("code"))
     qrows = (
         e.filter(query_pred(F.col("vec_id")))
         .select("vec_id", "embedding")

@@ -1404,11 +1404,16 @@ def lmscore(docs: DataFrame) -> DataFrame:
         / n_big.cast("double"),
         9,
     )
+    # materialize the scored frame once (r06): the threshold branch
+    # (min over the reference slice) and the final select both read it,
+    # and without a checkpoint each branch re-ran the full interpreted
+    # per-bigram bucket fold over the corpus. Rows are (id, long,
+    # double)-sized.
     scored = hashed.crossJoin(F.broadcast(model)).select(
         "doc_id",
         n_big.alias("n_bigrams"),
         score.alias("lm_score"),
-    )
+    ).localCheckpoint(eager=False)
     thr = (
         scored.filter((F.col("doc_id") % LM_TARGET_MOD) == 0)
         .agg(F.min("lm_score").alias("lm_t"))
