@@ -1413,7 +1413,11 @@ def _lg_hostprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (host, 16-byte hash) — hub hosts make hot groups of cheap count
     partials, the rel_salted_stats path exists if a single host ever
     dominates a partition."""
-    d = read_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    d = (
+        read_table(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", "text")
+    )
     src_idx = F.substring("source", 4, 8).cast("int")
     clones = d.filter(
         F.expr("(doc_id div 20) % 10") < (src_idx % 4)

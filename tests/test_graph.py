@@ -558,3 +558,54 @@ def test_kg_hearst_no_plant_every_11th(spark, sf001):
     assert j.filter(
         (F.col("doc_id") % 11 != 4) & (F.col("t2") == F.col("text"))
     ).count() == 0
+
+
+def test_label_propagation_delta_equals_full_recompute(spark):
+    """r06: the frontier/delta iteration must reproduce the synchronous
+    full-recompute reference round for round — exercised on a chain
+    glued to a clique so convergence takes several rounds and the
+    frontier genuinely shrinks (the regime where a frontier bug would
+    diverge)."""
+    from pyspark.sql import functions as F
+
+    edges = [(i, i + 1) for i in range(0, 12)] + [
+        (20, 21), (21, 22), (20, 22), (22, 12),
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+
+    # synchronous full-recompute reference (the pre-r06 algorithm)
+    bi = {}
+    for a, b in edges:
+        bi.setdefault(a, set()).add(b)
+        bi.setdefault(b, set()).add(a)
+    labels = {n: n for n in bi}
+    for _ in range(20):
+        new = {}
+        for n, nbrs in bi.items():
+            votes = {}
+            for v in nbrs:
+                votes[labels[v]] = votes.get(labels[v], 0) + 1
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        if new == labels:
+            break
+        labels = new
+    assert got == labels
+
+
+def test_cc_delta_long_chain(spark):
+    """r06: delta-iterated min-propagation on a 16-node chain (needs 15
+    one-hop rounds — inside the max_iter=20 bound the full-recompute
+    version also has — while the frontier shrinks to the wavefront)
+    must still label every node with the chain minimum."""
+    from kgforge.canon import connected_components
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 115)], "src long, dst long"
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in connected_components(e, force_distributed=True).collect()
+    }
+    assert set(comp) == set(range(100, 116))
+    assert set(comp.values()) == {100}
